@@ -1,0 +1,93 @@
+"""Command-line entry point.
+
+Reference: main.py:13-88.  Same argument surface (``--p_r --p_c --k --fpath
+--ftype --fname --init --itr --norm --method --verbose --results_path
+--checkpoint --timing_stats --prune --precision`` plus the NMFk block
+``--perturbations --noise_var --start_k --end_k --step_k --sill_thr
+--sampling``), launched as a single process per host (``python -m
+pydnmfk_tpu ...``) instead of mpirun: JAX's runtime owns all local devices
+and ``jax.distributed.initialize`` covers multi-host pods.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="TPU-native distributed NMF/NMFk "
+                    "(python -m pydnmfk_tpu --process=pyDNMFk --p_r=2 --p_c=2 ...)")
+    p.add_argument("--process", type=str, default="pyDNMF",
+                   help="pyDNMF/pyDNMFk")
+    # pyNMF block (reference main.py:13-31)
+    p.add_argument("--p_r", type=int, required=True, help="mesh rows")
+    p.add_argument("--p_c", type=int, required=True, help="mesh cols")
+    p.add_argument("--k", type=int, default=4, help="feature count")
+    p.add_argument("--fpath", type=str, default="data/")
+    p.add_argument("--ftype", type=str, default="mat",
+                   help="mat/npy/csv/txt/folder")
+    p.add_argument("--fname", type=str, default="A_")
+    p.add_argument("--init", type=str, default="rand", help="rand/nnsvd")
+    p.add_argument("--itr", type=int, default=5000)
+    p.add_argument("--norm", type=str, default="kl", help="KL/FRO")
+    p.add_argument("--method", type=str, default="mu", help="MU/BCD/HALS")
+    p.add_argument("--verbose", type=str2bool, default=False)
+    p.add_argument("--results_path", type=str, default="results/")
+    p.add_argument("--checkpoint", type=str2bool, default=False)
+    p.add_argument("--timing_stats", type=str2bool, default=False)
+    p.add_argument("--prune", type=str2bool, default=False)
+    p.add_argument("--precision", type=str, default="float32",
+                   help="float16/bfloat16/float32/float64")
+    # pyNMFk block (reference main.py:34-42)
+    p.add_argument("--perturbations", type=int, default=20)
+    p.add_argument("--noise_var", type=float, default=0.015)
+    p.add_argument("--start_k", type=int, default=1)
+    p.add_argument("--end_k", type=int, default=10)
+    p.add_argument("--step_k", type=int, default=1)
+    p.add_argument("--sill_thr", type=float, default=0.6)
+    p.add_argument("--sampling", type=str, default="uniform",
+                   help="uniform/poisson")
+    # TPU-specific
+    p.add_argument("--multihost", type=str2bool, default=False,
+                   help="call jax.distributed.initialize() first")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.multihost:
+        from .parallel.mesh import initialize_multihost
+        initialize_multihost()
+
+    from .runner import Runner
+    runner = Runner(
+        init=args.init, itr=args.itr, norm=args.norm, method=args.method,
+        verbose=args.verbose, checkpoint=args.checkpoint,
+        timing_stats=args.timing_stats, prune=args.prune,
+        precision=args.precision, perturbations=args.perturbations,
+        noise_var=args.noise_var, sill_thr=args.sill_thr,
+        sampling=args.sampling, process=args.process)
+    results = runner.run(
+        grid=[args.p_r, args.p_c], fpath=args.fpath, ftype=args.ftype,
+        fname=args.fname, results_path=args.results_path,
+        k_range=[args.start_k, args.end_k], step_k=args.step_k, k=args.k)
+    if "nopt" in results:
+        print("Rank estimated by NMFk =", results["nopt"])
+    elif "err" in results:
+        print("relative error =", results["err"])
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

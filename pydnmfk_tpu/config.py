@@ -1,0 +1,109 @@
+"""Typed configuration for the TPU-native distributed NMFk framework.
+
+Replaces the reference's untyped attribute-bag ``parse`` class and its two
+coexisting calling conventions (CLI ``p_r/p_c/start_k/end_k`` fields vs the
+runner's ``grid``/``k_range`` — see reference pyDNMFk/utils.py:480-483,
+pyDNMF.py:60-63, pyDNMFk.py:132-135) with a single frozen dataclass pair.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+_PRECISIONS = {
+    "float16": np.float16,
+    "bfloat16": "bfloat16",
+    "float32": np.float32,
+    "float64": np.float64,
+}
+
+
+def ensure_precision_enabled(precision: str) -> None:
+    """float64 needs the global x64 switch flipped before tracing."""
+    if precision == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+
+@dataclasses.dataclass(frozen=True)
+class NMFConfig:
+    """Configuration for a single NMF factorization (one k).
+
+    Mirrors the argument surface of the reference CLI (main.py:13-31) and
+    ``PyNMF`` (pyDNMF.py:54-101), re-expressed mesh-first: the MPI processor
+    grid ``p_r x p_c`` becomes a JAX device-mesh shape ``grid``.
+    """
+
+    k: int = 4
+    grid: Tuple[int, int] = (1, 1)          # (p_r, p_c) -> mesh axes ('r','c')
+    init: str = "rand"                       # rand | nnsvd
+    itr: int = 5000
+    norm: str = "kl"                         # fro | kl
+    method: str = "mu"                       # mu | hals | bcd
+    prune: bool = False
+    precision: str = "float32"               # float16/bfloat16/float32/float64
+    seed: int = 100
+    verbose: bool = False
+    save_factors: bool = False
+    W_update: bool = True
+    results_path: str = "results/"
+    # TPU-specific knobs (no reference equivalent):
+    kl_chunk: int = 0        # rows per chunk for the KL m x n intermediate; 0 = no chunking
+    use_pallas: Optional[bool] = None  # None = auto (TPU only)
+
+    @property
+    def p_r(self) -> int:
+        return self.grid[0]
+
+    @property
+    def p_c(self) -> int:
+        return self.grid[1]
+
+    @property
+    def dtype(self):
+        return np.dtype(_PRECISIONS[self.precision]) if self.precision != "bfloat16" else _PRECISIONS["bfloat16"]
+
+    @property
+    def eps(self) -> float:
+        # reference: np.finfo(A.dtype).eps (pyDNMF.py:68-69)
+        if self.precision == "bfloat16":
+            return float(np.finfo(np.float32).eps)  # bf16 eps is too coarse for MU denominators
+        return float(np.finfo(np.dtype(_PRECISIONS[self.precision])).eps)
+
+    def replace(self, **kw) -> "NMFConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class NMFkConfig:
+    """Configuration for the full NMFk model-selection pipeline.
+
+    Mirrors reference parser_pyNMFk (main.py:34-42) + PyNMFk defaults
+    (pyDNMFk.py:143-164).
+    """
+
+    nmf: NMFConfig = dataclasses.field(default_factory=NMFConfig)
+    start_k: int = 1
+    end_k: int = 10
+    step_k: int = 1
+    perturbations: int = 20
+    noise_var: float = 0.015
+    sampling: str = "uniform"                # uniform | poisson
+    sill_thr: float = 0.6
+    checkpoint: bool = True
+    results_path: str = "results/"
+    fname: str = "A"
+    # TPU-specific: how many ensemble members to run as one batched solve.
+    # 0 = all perturbations in one vmapped batch (the reference runs them
+    # serially, pyDNMFk.py:226-231).
+    ensemble_batch: int = 0
+
+    @property
+    def k_range(self):
+        return range(self.start_k, self.end_k + 1, self.step_k)
+
+    def replace(self, **kw) -> "NMFkConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,163 @@
+"""Custom clustering of ensemble W columns + cosine-distance silhouettes.
+
+Reference: ``custom_clustering`` (pyDNMFk/dist_clustering.py:5-188).  Given
+the W factors of p perturbed NMF runs, greedily align the k columns of every
+run to a common centroid ordering (100 fixed alignment iterations, median
+centroids), then score cluster stability with cosine-distance silhouettes.
+
+TPU-native re-design: the whole alignment loop — including the greedy
+quadratic-assignment inner loop — runs as one jit-compiled computation
+(``lax.fori_loop`` over iterations, perturbations, and assignment steps);
+the reference round-trips numpy + MPI allreduce per (iteration,
+perturbation) pair.  Ensemble tensors use a leading perturbation axis
+(p, m, k) so they batch/shard naturally; the reference layout is (m, k, p).
+
+Numerical semantics match the reference exactly (verified against the
+committed golden ``tests/sill.npy``):
+  * normalize: W /= sqrt(colsumsq + eps); H *= the same    (:30-39)
+  * initial centroids = first perturbation's W             (:109-110)
+  * greedy max-similarity assignment                       (:58-69)
+  * centroids = median over perturbations, renormalized    (:120-126)
+  * silhouettes from the arccos-of-clipped-gram distances  (:129-160)
+  * the reference clusters twice (fit -> dist_silhouettes re-clusters with
+    centroids reset to the permuted first slice, :140); replicated here.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops import linalg
+
+
+def normalize_by_w(W_all, H_all, eps):
+    """L2-normalize each W column (globally over rows), rescale H rows.
+    W_all: (p, m, k); H_all: (p, k, n)."""
+    sumsq = jnp.sum(jnp.square(W_all.astype(jnp.float32)), axis=1)   # (p, k)
+    temp = jnp.sqrt(sumsq + eps).astype(W_all.dtype)
+    W_all = W_all / temp[:, None, :]
+    H_all = H_all * temp[:, :, None]
+    return W_all, H_all
+
+
+def greedy_assignment(dist):
+    """Greedy approximation of max-similarity assignment
+    (reference greedy_lsa + change_order, :50-69).
+
+    Returns perm such that new_W[:, i] = W[:, perm[i]]."""
+    k = dist.shape[0]
+    neg = jnp.asarray(-jnp.inf, dist.dtype)
+
+    def body(_, state):
+        X, perm = state
+        flat = jnp.argmax(X)
+        r, c = flat // k, flat % k
+        perm = perm.at[r].set(c)
+        X = X.at[r, :].set(neg)
+        X = X.at[:, c].set(neg)
+        return X, perm
+
+    _, perm = lax.fori_loop(0, k, body,
+                            (dist.astype(jnp.float32),
+                             jnp.zeros((k,), jnp.int32)))
+    return perm
+
+
+def _cluster_loop(W_all, H_all, eps, n_iter=100):
+    """The 100-iteration alignment loop (reference :83-127).
+    Centroids restart from the (current) first perturbation slice."""
+    p = W_all.shape[0]
+    centroids = W_all[0]
+
+    def one_iter(_, state):
+        W_all, H_all, centroids = state
+
+        def one_pert(i, carry):
+            W_all, H_all = carry
+            Wp = lax.dynamic_index_in_dim(W_all, i, 0, keepdims=False)
+            Hp = lax.dynamic_index_in_dim(H_all, i, 0, keepdims=False)
+            dist = linalg.matmul(centroids.T, Wp)        # (k,k), psum over 'r'
+            perm = greedy_assignment(dist)
+            W_all = lax.dynamic_update_index_in_dim(
+                W_all, jnp.take(Wp, perm, axis=1), i, 0)
+            H_all = lax.dynamic_update_index_in_dim(
+                H_all, jnp.take(Hp, perm, axis=0), i, 0)
+            return W_all, H_all
+
+        W_all, H_all = lax.fori_loop(0, p, one_pert, (W_all, H_all))
+        centroids = jnp.median(W_all, axis=0)
+        cn = jnp.sqrt(jnp.sum(jnp.square(centroids.astype(jnp.float32)),
+                              axis=0) + eps)
+        centroids = centroids / cn.astype(centroids.dtype)
+        return W_all, H_all, centroids
+
+    return lax.fori_loop(0, n_iter, one_iter, (W_all, H_all, centroids))
+
+
+def _silhouettes(W_all):
+    """Cosine-distance silhouettes (reference dist_silhouettes :129-160).
+    W_all: (p, m, k) with L2-normalized columns.  Returns (k, p)."""
+    P, _, K = W_all.shape
+    if K == 1:
+        return jnp.ones((K, P), W_all.dtype)
+    # G[k1, p1, k2, p2] = <W[p1][:, k1], W[p2][:, k2]>, psum over 'r'
+    G = jnp.einsum("ami,bmj->iajb", W_all.astype(jnp.float32),
+                   W_all.astype(jnp.float32))
+    D = jnp.arccos(jnp.clip(G, -1.0, 1.0))              # (K,P,K,P)
+    ii = jnp.arange(K)
+    a = D[ii, :, ii, :].sum(-1) / (P - 1)               # (K,P)
+    rowsum = D.sum(-1)                                  # (K,P,K)
+    mask = (ii[:, None, None] == ii[None, None, :])
+    rowsum = jnp.where(mask, jnp.inf, rowsum)
+    b = rowsum.min(-1) / P                              # (K,P)
+    return ((b - a) / jnp.maximum(a, b)).astype(W_all.dtype)
+
+
+def _mad(data, axis=-1):
+    """Median absolute deviation (reference mad flag=1, :41-48)."""
+    med = jnp.nanmedian(data, axis=axis, keepdims=True)
+    return jnp.nanmedian(jnp.abs(data - med), axis=axis)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _fit_impl(W_all, H_all, eps, n_iter=100):
+    W_all, H_all = normalize_by_w(W_all, H_all, eps)
+    # first clustering pass (reference fit -> dist_custom_clustering)
+    W_all, H_all, centroids = _cluster_loop(W_all, H_all, eps, n_iter)
+    cent_std = _mad(jnp.moveaxis(W_all, 0, -1), axis=-1)      # (m, k)
+    # second pass inside dist_silhouettes (reference :140) — centroids reset
+    W_all2, H_all2, _ = _cluster_loop(W_all, H_all, eps, n_iter)
+    sils = _silhouettes(W_all2)                               # (k, p)
+    return centroids, cent_std, H_all2, sils
+
+
+class CustomClustering:
+    """API mirror of reference custom_clustering.fit (:162-188)."""
+
+    def __init__(self, W_all, H_all, eps: float, n_iter: int = 100):
+        # accept either (m,k,p)/(k,n,p) reference layout or (p,m,k)/(p,k,n)
+        W_all = jnp.asarray(W_all)
+        H_all = jnp.asarray(H_all)
+        if W_all.ndim != 3:
+            raise ValueError("W_all must be a rank-3 ensemble tensor")
+        self.W_all = W_all
+        self.H_all = H_all
+        self.eps = eps
+        self.n_iter = n_iter
+
+    def fit(self):
+        """Returns (centroids (m,k), cent_std (m,k), H_all (p,k,n),
+        cluster_sils (k,), avg_sil (scalar), sils (k,p))."""
+        centroids, cent_std, H_all, sils = _fit_impl(
+            self.W_all, self.H_all, jnp.float32(self.eps), self.n_iter)
+        cluster_sils = jnp.mean(sils, axis=1)
+        avg_sil = jnp.mean(sils)
+        return centroids, cent_std, H_all, cluster_sils, avg_sil, sils
+
+
+def cluster_ensemble(W_all, H_all, eps, n_iter=100):
+    return CustomClustering(W_all, H_all, eps, n_iter).fit()

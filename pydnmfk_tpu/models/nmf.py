@@ -1,0 +1,180 @@
+"""Single-NMF driver: one factorization A ~= W H for a fixed k.
+
+TPU-native replacement of the reference ``PyNMF`` (pyDNMFk/pyDNMF.py:9-239).
+The iteration loop is a single jit-compiled ``lax.fori_loop`` (the reference
+re-instantiates a Python update object per step, pyDNMF.py:154,169); the
+per-topology branches are gone (sharding decides); and solves can be batched
+over an ensemble axis with ``vmap`` for the NMFk pipeline.
+
+Reference semantics preserved:
+  * eps = finfo(dtype).eps                          (pyDNMF.py:68-69)
+  * clip W,H at eps every 10 iterations             (pyDNMF.py:155-157,170-172)
+  * final L1 column-normalize W, rescale H          (pyDNMF.py:184-194)
+  * relative error = ||A-WH||_F / ||A||_F           (pyDNMF.py:204-210)
+  * per-column error vector                         (pyDNMF.py:220-239)
+  * rand init: U[0,1) factors                       (pyDNMF.py:110-129)
+  * BCD collapses the outer loop into its own       (pyDNMF.py:152)
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import NMFConfig
+from ..ops import linalg
+from ..parallel.mesh import GridContext, grid_context
+from ..utils.pruning import PruneState, prune_all, unprune_factors
+from . import updates
+
+
+# ---------------------------------------------------------------------------
+# jitted solver (cached per static signature)
+# ---------------------------------------------------------------------------
+def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
+           W_update: bool, chunk: int):
+    norm = norm.lower()
+    method = method.lower()
+    if norm == "fro" and method == "mu":
+        step = partial(updates.mu_fro_step, W_update=W_update)
+    elif norm == "kl" and method == "mu":
+        step = partial(updates.mu_kl_step, W_update=W_update, chunk=chunk)
+    elif norm == "fro" and method == "hals":
+        step = partial(updates.hals_step, W_update=W_update)
+    elif norm == "fro" and method == "bcd":
+        step = None
+    elif method == "bcd" or method == "hals":
+        raise ValueError(f"method {method!r} supports only norm='fro'")
+    else:
+        raise ValueError(f"invalid (norm, method) = ({norm!r}, {method!r})")
+
+    if method == "bcd":
+        W, H = updates.bcd_solve(A, W, H, eps, itr=itr)
+        # reference pyDNMF.fit clips at i = itr-1 only when (itr-1) % 10 == 0
+        if (itr - 1) % 10 == 0:
+            W = jnp.maximum(W, eps)
+            H = jnp.maximum(H, eps)
+    else:
+        def body(i, WH):
+            W, H = WH
+            W, H = step(A, W, H, eps)
+            clip = (i % 10) == 0
+            W = jnp.where(clip, jnp.maximum(W, eps), W)
+            H = jnp.where(clip, jnp.maximum(H, eps), H)
+            return (W, H)
+
+        W, H = lax.fori_loop(0, itr, body, (W, H))
+
+    W, H = linalg.normalize_features(W, H, eps)
+    err = linalg.relative_error(A, W, H)
+    return W, H, err
+
+
+@lru_cache(maxsize=64)
+def _jitted_solver(norm, method, itr, W_update, chunk, batched):
+    fn = partial(_solve, norm=norm, method=method, itr=itr,
+                 W_update=W_update, chunk=chunk)
+    if batched:
+        fn = jax.vmap(fn, in_axes=(0, 0, 0, None))
+    return jax.jit(fn)
+
+
+def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
+          batched: bool = False):
+    """Run the full iteration loop.  ``batched=True`` maps over a leading
+    ensemble axis of A/W/H (the reference's serial perturbation loop,
+    pyDNMFk.py:226-231, becomes one compiled batch)."""
+    fn = _jitted_solver(cfg.norm.lower(), cfg.method.lower(), cfg.itr,
+                        cfg.W_update if W_update is None else W_update,
+                        cfg.kl_chunk, batched)
+    return fn(A, W, H, eps)
+
+
+# ---------------------------------------------------------------------------
+# factor initialization
+# ---------------------------------------------------------------------------
+def init_factors_rand(key, m, n, k, dtype):
+    kw, kh = jax.random.split(key)
+    W = jax.random.uniform(kw, (m, k), dtype=jnp.float32).astype(dtype)
+    H = jax.random.uniform(kh, (k, n), dtype=jnp.float32).astype(dtype)
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+class NMF:
+    """Orchestrates one NMF fit: init -> (prune) -> iterate -> normalize ->
+    error -> (unprune).  Mirror of reference ``PyNMF``."""
+
+    def __init__(self, cfg: NMFConfig, ctx: Optional[GridContext] = None):
+        from ..config import ensure_precision_enabled
+        ensure_precision_enabled(cfg.precision)
+        self.cfg = cfg
+        self.ctx = ctx if ctx is not None else grid_context(*cfg.grid)
+        self.recon_err = None
+        self.prune_state: Optional[PruneState] = None
+
+    def _as_global(self, A) -> jax.Array:
+        A = jnp.asarray(A, dtype=self.cfg.dtype)
+        if self.ctx.n_devices > 1:
+            A = jax.device_put(A, self.ctx.sharding_A)
+        return A
+
+    def init_factors(self, A, key=None):
+        m, n = A.shape
+        cfg = self.cfg
+        if cfg.init == "rand":
+            if key is None:
+                key = jax.random.key(cfg.seed)
+            W, H = init_factors_rand(key, m, n, cfg.k, cfg.dtype)
+        elif cfg.init == "nnsvd":
+            from .svd import DistSVD
+            W, H = DistSVD(self.ctx, k=cfg.k, eps=cfg.eps).nnsvd(A)
+            W = W.astype(cfg.dtype)
+            H = H.astype(cfg.dtype)
+        else:
+            raise ValueError(f"unknown init {cfg.init!r}")
+        if self.ctx.n_devices > 1:
+            W = jax.device_put(W, self.ctx.sharding_W)
+            H = jax.device_put(H, self.ctx.sharding_H)
+        return W, H
+
+    def fit(self, A, factors: Optional[Tuple] = None, key=None):
+        """Returns (W, H, recon_err) as the reference PyNMF.fit does
+        (pyDNMF.py:137-182)."""
+        cfg = self.cfg
+        A = self._as_global(A)
+        if factors is not None:
+            W = jnp.asarray(factors[0], dtype=cfg.dtype)
+            H = jnp.asarray(factors[1], dtype=cfg.dtype)
+        else:
+            W, H = self.init_factors(A, key=key)
+
+        if cfg.prune:
+            A, W, H, self.prune_state = prune_all(A, W, H)
+
+        eps = jnp.asarray(cfg.eps, dtype=cfg.dtype)
+        W, H, err = solve(A, W, H, eps, cfg)
+        self.recon_err = float(err)
+        self._A, self._W, self._H = A, W, H   # pruned-space views for column_err
+
+        if cfg.prune:
+            W, H = unprune_factors(W, H, self.prune_state)
+        return W, H, self.recon_err
+
+    def column_err(self) -> np.ndarray:
+        """Per-column relative error of the last fit, in pruned space padded
+        back to global n (reference pyDNMF.py:220-239 computes it on the
+        pruned matrices as well)."""
+        col = linalg.column_error(self._A, self._W, self._H)
+        col = np.asarray(jax.device_get(col))
+        if self.prune_state is not None:
+            full = np.zeros(self.prune_state.n_cols_full, dtype=col.dtype)
+            full[np.asarray(self.prune_state.col_mask)] = col
+            return full
+        return col

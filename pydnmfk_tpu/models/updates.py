@@ -1,0 +1,187 @@
+"""One-step NMF update rules (MU-Fro, MU-KL, HALS) and the BCD solver.
+
+TPU-native re-design of the reference update kernels
+(pyDNMFk/dist_nmf.py).  Two deliberate structural departures:
+
+* **No 1D/2D split.**  The reference implements every rule twice
+  (nmf_algorithms_1D :582-1047 vs nmf_algorithms_2D :7-579) differing only in
+  hand-placed MPI collectives.  Here each rule is written once on global
+  arrays; the mesh sharding decides the collectives.
+
+* **Pure functions, jit-compiled once.**  The reference constructs a fresh
+  update object per iteration (pyDNMF.py:154,169); here the driver traces a
+  single ``lax.fori_loop`` body.
+
+Numerical semantics are kept identical to the reference (documented
+per-function) so the convergence-threshold and golden-value tests transfer.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import linalg
+from ..ops.kl import kl_uht, kl_wtu
+
+
+# ---------------------------------------------------------------------------
+# Multiplicative updates, Frobenius norm  (reference Fro_MU_update_{W,H}:
+# 1D dist_nmf.py:715-751, 2D :207-263)
+# ---------------------------------------------------------------------------
+def mu_fro_step(A, W, H, eps, W_update=True):
+    if W_update:
+        HHT = linalg.gram_t(H)                      # (k,k) psum over 'c'
+        AHT = linalg.matmul_AHT(A, H)               # (m,k) psum over 'c'
+        W = W * AHT / (linalg.matmul(W, HHT) + eps)
+    WTW = linalg.gram(W)                            # (k,k) psum over 'r'
+    WTA = linalg.matmul_WTA(W, A)                   # (k,n) psum over 'r'
+    # reference: H *= AtW / (H^T W^T W)^T == WTW @ H (WTW symmetric)
+    H = H * WTA / (linalg.matmul(WTW, H) + eps)
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# Multiplicative updates, KL divergence  (reference KL_MU_update_{W,H}:
+# 1D dist_nmf.py:803-849, 2D :293-407)
+# ---------------------------------------------------------------------------
+def mu_kl_step(A, W, H, eps, W_update=True, chunk=0):
+    if W_update:
+        h_rowsum = linalg.sum_axis(H, axis=1)       # (k,) psum over 'c'
+        UHT = kl_uht(A, W, H, eps, chunk)           # (m,k)
+        W = W * UHT / (h_rowsum[None, :] + eps)
+    w_colsum = linalg.sum_axis(W, axis=0)           # (k,) psum over 'r'
+    WTU = kl_wtu(A, W, H, eps, chunk)               # (k,n), uses updated W
+    H = H * WTU / (w_colsum[:, None] + eps)
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# HALS, Frobenius norm  (reference FRO_HALS_update_{W,H}:
+# 1D dist_nmf.py:873-934, 2D :411-470)
+# ---------------------------------------------------------------------------
+def hals_step(A, W, H, eps, W_update=True):
+    k = W.shape[1]
+
+    if W_update:
+        HHT = linalg.gram_t(H)                      # (k,k)
+        AHT = linalg.matmul_AHT(A, H)               # (m,k)
+
+        def w_col(kk, W):
+            hht_col = lax.dynamic_slice_in_dim(HHT, kk, 1, axis=1)[:, 0]
+            aht_col = lax.dynamic_slice_in_dim(AHT, kk, 1, axis=1)[:, 0]
+            w_col_cur = lax.dynamic_slice_in_dim(W, kk, 1, axis=1)[:, 0]
+            v = w_col_cur * HHT[kk, kk] + aht_col - linalg.matmul(W, hht_col)
+            v = jnp.maximum(v, eps)
+            # global L2 column normalization (reference :889-893)
+            ss = jnp.sqrt(linalg.sqnorm(v)).astype(W.dtype)
+            v = jnp.where(ss > 0, v / ss, v)
+            return lax.dynamic_update_slice_in_dim(W, v[:, None], kk, axis=1)
+
+        W = lax.fori_loop(0, k, w_col, W, unroll=True)
+
+    WTW = linalg.gram(W)
+    WTA = linalg.matmul_WTA(W, A)
+
+    def h_row(kk, H):
+        wtw_row = lax.dynamic_slice_in_dim(WTW, kk, 1, axis=0)[0]
+        wta_row = lax.dynamic_slice_in_dim(WTA, kk, 1, axis=0)[0]
+        h_row_cur = lax.dynamic_slice_in_dim(H, kk, 1, axis=0)[0]
+        # reference :912 relies on W columns being L2-normalized (WTW[kk,kk]=1)
+        v = h_row_cur + wta_row - linalg.matmul(wtw_row, H)
+        v = jnp.maximum(v, eps)
+        return lax.dynamic_update_slice_in_dim(H, v[None, :], kk, axis=0)
+
+    H = lax.fori_loop(0, k, h_row, H, unroll=True)
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# BCD (block coordinate descent with Nesterov-style extrapolation),
+# Frobenius norm  (reference FRO_BCD_update: 1D dist_nmf.py:951-1047,
+# 2D :482-579).  Unlike MU/HALS this is a complete inner solver.
+# ---------------------------------------------------------------------------
+class _BCDState(NamedTuple):
+    W: jax.Array
+    H: jax.Array
+    Wm: jax.Array
+    Hm: jax.Array
+    W_old: jax.Array
+    H_old: jax.Array
+    HHT: jax.Array
+    AHT: jax.Array
+    obj_old: jax.Array
+    t_old: jax.Array
+    HHTnorm: jax.Array
+    WTWnorm: jax.Array
+
+
+def bcd_solve(A, W, H, eps, itr=1000, rw=1.0):
+    """Run the full BCD inner loop; returns (W, H)."""
+    f32 = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
+
+    # init (reference initWandH :951-969): scale W,H so |W| = |H| = |A|^(1/2)
+    Xnorm = linalg.sqnorm(A)
+    sqW = linalg.sqnorm(W)
+    sqH = linalg.sqnorm(H)
+    scale = jnp.sqrt(jnp.sqrt(Xnorm))
+    W0 = (W / jnp.sqrt(sqW).astype(W.dtype) * scale.astype(W.dtype))
+    H0 = (H / jnp.sqrt(sqH).astype(H.dtype) * scale.astype(H.dtype))
+    state = _BCDState(
+        W=W0, H=H0, Wm=W0, Hm=H0, W_old=W0, H_old=H0,
+        HHT=linalg.gram_t(H0), AHT=linalg.matmul_AHT(A, H0),
+        obj_old=0.5 * Xnorm, t_old=jnp.asarray(1.0, f32),
+        HHTnorm=jnp.asarray(1.0, f32), WTWnorm=jnp.asarray(1.0, f32))
+
+    def body(_, s: _BCDState) -> _BCDState:
+        # --- W update: projected Lipschitz-gradient step ---
+        HHTnorm_old = s.HHTnorm
+        HHTnorm = jnp.sqrt(linalg.sqnorm(s.HHT))
+        GW = linalg.matmul(s.Wm, s.HHT) - s.AHT
+        W = jnp.maximum(0.0, s.Wm - GW / HHTnorm.astype(GW.dtype))
+        # L1 column normalization (reference :1004-1011, no eps guard)
+        W = W / linalg.sum_axis(W, axis=0)[None, :]
+        WTW = linalg.gram(W)
+
+        # --- H update ---
+        WTWnorm_old = s.WTWnorm
+        WTWnorm = jnp.sqrt(linalg.sqnorm(WTW))
+        GH = linalg.matmul(WTW, s.Hm) - linalg.matmul_WTA(W, A)
+        H = jnp.maximum(0.0, s.Hm - GH / WTWnorm.astype(GH.dtype))
+        HHT = linalg.gram_t(H)
+        AHT = linalg.matmul_AHT(A, H)
+
+        obj = 0.5 * linalg.sqnorm(A - linalg.matmul(W, H))
+
+        # --- correction / extrapolation (reference :1029-1047) ---
+        t = (1.0 + jnp.sqrt(1.0 + 4.0 * s.t_old ** 2)) / 2.0
+        restore = obj >= s.obj_old
+
+        def do_restore(_):
+            # non-increasing objective: roll Wm/Hm and cached grams back to
+            # the previous accepted iterate (reference :1031-1036)
+            return (s.W_old, s.H_old, s.W_old, s.H_old,
+                    linalg.gram_t(s.H_old), linalg.matmul_AHT(A, s.H_old),
+                    s.obj_old, s.t_old)
+
+        def do_extrapolate(_):
+            w_ext = jnp.minimum((s.t_old - 1.0) / t,
+                                rw * jnp.sqrt(HHTnorm_old / HHTnorm))
+            h_ext = jnp.minimum((s.t_old - 1.0) / t,
+                                rw * jnp.sqrt(WTWnorm_old / WTWnorm))
+            Wm = W + w_ext.astype(W.dtype) * (W - s.W_old)
+            Hm = H + h_ext.astype(H.dtype) * (H - s.H_old)
+            return (Wm, Hm, W, H, HHT, AHT, obj, t)
+
+        (Wm, Hm, W_old, H_old, HHT2, AHT2, obj_old, t_old) = lax.cond(
+            restore, do_restore, do_extrapolate, None)
+        return _BCDState(
+            W=W, H=H, Wm=Wm, Hm=Hm, W_old=W_old, H_old=H_old,
+            HHT=HHT2, AHT=AHT2, obj_old=obj_old, t_old=t_old,
+            HHTnorm=HHTnorm, WTWnorm=WTWnorm)
+
+    state = lax.fori_loop(0, itr, body, state)
+    return state.W, state.H

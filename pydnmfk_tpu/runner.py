@@ -1,0 +1,82 @@
+"""High-level object API.
+
+Reference: ``pyDNMFk_Runner`` (pyDNMFk/runner.py:12-176).  Same surface:
+construct with hyperparameters, call ``.run(grid=..., fpath=..., ...)``;
+returns ``{"nopt": ...}`` for process="pyDNMFk" or ``{"W","H","err"}`` for
+process="pyDNMF".
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from .config import NMFConfig, NMFkConfig
+from .models.nmf import NMF
+from .models.nmfk import NMFk
+from .parallel.mesh import grid_context
+from .utils import timing
+from .utils.io import DataReader
+
+
+class Runner:
+    def __init__(self, init="rand", itr=5000, norm="kl", method="mu",
+                 verbose=False, checkpoint=False, timing_stats=False,
+                 prune=False, precision="float32", perturbations=20,
+                 noise_var=0.015, sill_thr=0.6, sampling="uniform",
+                 process="pyDNMF"):
+        if process not in ("pyDNMF", "pyDNMFk"):
+            raise ValueError("process should be either pyDNMFk or pyDNMF")
+        self.init = init
+        self.itr = itr
+        self.norm = norm
+        self.method = method
+        self.verbose = verbose
+        self.checkpoint = checkpoint
+        self.timing_stats = timing_stats
+        self.prune = prune
+        self.precision = precision
+        self.perturbations = perturbations
+        self.noise_var = noise_var
+        self.sill_thr = sill_thr
+        self.sampling = sampling
+        self.process = process
+        timing.enable(timing_stats)
+
+    def run(self, grid: Sequence[int], fpath="data/", ftype="mat",
+            fname="A", results_path="results/", k_range=(1, 10),
+            step_k=1, k=4):
+        if len(grid) != 2 or len(k_range) != 2:
+            raise ValueError("grid and k_range need to be length-2")
+        nmf_cfg = NMFConfig(
+            k=k, grid=tuple(grid), init=self.init, itr=self.itr,
+            norm=self.norm, method=self.method, prune=self.prune,
+            precision=self.precision, verbose=self.verbose,
+            results_path=results_path)
+        ctx = grid_context(*grid)
+        reader = DataReader(fpath, fname, ftype, pgrid=grid,
+                            precision=self.precision)
+        A = reader.read(ctx)
+
+        results = {}
+        if self.process == "pyDNMFk":
+            cfg = NMFkConfig(
+                nmf=nmf_cfg, start_k=k_range[0], end_k=k_range[1],
+                step_k=step_k, perturbations=self.perturbations,
+                noise_var=self.noise_var, sampling=self.sampling,
+                sill_thr=self.sill_thr, checkpoint=self.checkpoint,
+                results_path=results_path, fname=fname)
+            results["nopt"] = NMFk(cfg, ctx).fit(A)
+        else:
+            W, H, err = NMF(nmf_cfg, ctx).fit(A)
+            results.update(W=W, H=H, err=err)
+
+        if self.timing_stats:
+            os.makedirs(results_path, exist_ok=True)
+            stats_path = os.path.join(results_path, "Timing_stats.csv")
+            timing.save_csv(stats_path)
+            try:
+                from .utils.plotting import plot_timing_stats
+                plot_timing_stats(stats_path, results_path)
+            except Exception:
+                pass
+        return results
