@@ -139,11 +139,17 @@ class CustomClustering:
     """API mirror of reference custom_clustering.fit (:162-188)."""
 
     def __init__(self, W_all, H_all, eps: float, n_iter: int = 100):
-        # accept either (m,k,p)/(k,n,p) reference layout or (p,m,k)/(p,k,n)
+        """W_all: (p, m, k); H_all: (p, k, n) — leading perturbation axis
+        (use ``jnp.moveaxis(x, -1, 0)`` to convert the reference's
+        (m, k, p) / (k, n, p) layout)."""
         W_all = jnp.asarray(W_all)
         H_all = jnp.asarray(H_all)
-        if W_all.ndim != 3:
-            raise ValueError("W_all must be a rank-3 ensemble tensor")
+        if W_all.ndim != 3 or H_all.ndim != 3:
+            raise ValueError("W_all/H_all must be rank-3 ensemble tensors")
+        if W_all.shape[0] != H_all.shape[0] or W_all.shape[2] != H_all.shape[1]:
+            raise ValueError(
+                f"layout mismatch: expected W_all (p,m,k), H_all (p,k,n); "
+                f"got {W_all.shape} and {H_all.shape}")
         self.W_all = W_all
         self.H_all = H_all
         self.eps = eps

@@ -30,23 +30,19 @@ from ..parallel.mesh import GridContext
 _EXACT_GRAM_LIMIT = 8192   # replicate the Gram and eigh below this min-dim
 
 
-def _cholesky_qr(Y):
-    """Tall-skinny orthonormalization via Gram + Cholesky (two passes for
-    stability).  TPU-friendly: only matmuls + a tiny (b,b) factorization."""
-    for _ in range(2):
-        G = linalg.matmul(Y.T, Y).astype(jnp.float32)
-        G = G + 1e-12 * jnp.eye(G.shape[0], dtype=G.dtype)
-        R = jnp.linalg.cholesky(G.T).T          # upper-triangular
-        Y = jax.scipy.linalg.solve_triangular(
-            R.T, Y.astype(jnp.float32).T, lower=True).T
-    return Y
+def _panel_qr(Y):
+    """Tall-skinny orthonormalization.  Dense reduced QR: rank-deficient
+    panels (exactly low-rank A) break Cholesky-QR, and this runs only a few
+    times at init, so robustness wins over the matmul-only variant."""
+    Q, _ = jnp.linalg.qr(Y.astype(linalg._acc_dtype(Y)), mode="reduced")
+    return Q
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _svd_gram(A, k: int):
     """Exact top-k SVD via eigh of the smaller Gram matrix."""
     m, n = A.shape
-    Af = A.astype(jnp.float32)
+    Af = A.astype(linalg._acc_dtype(A))
     if m >= n:
         B = linalg.matmul(Af.T, Af)             # (n,n), psum over 'r'
         evals, evecs = jnp.linalg.eigh(B)       # ascending
@@ -69,13 +65,14 @@ def _svd_randomized(A, key, k: int, iters: int = 8, oversample: int = 10):
     """Randomized subspace iteration for very large min(m, n)."""
     m, n = A.shape
     b = min(k + oversample, min(m, n))
-    Af = A.astype(jnp.float32)
+    Af = A.astype(linalg._acc_dtype(A))
     tall = m >= n
     X = Af if tall else Af.T                    # (big, small)? no: (m,n) or (n,m)
-    Y = linalg.matmul(X, jax.random.normal(key, (X.shape[1], b), jnp.float32))
-    Q = _cholesky_qr(Y)
+    Y = linalg.matmul(X, jax.random.normal(key, (X.shape[1], b),
+                                           linalg._acc_dtype(A)))
+    Q = _panel_qr(Y)
     for _ in range(iters):
-        Q = _cholesky_qr(linalg.matmul(X, linalg.matmul(X.T, Q)))
+        Q = _panel_qr(linalg.matmul(X, linalg.matmul(X.T, Q)))
     B = linalg.matmul(Q.T, X)                   # (b, small)
     Bs, Bu, Bvt = _svd_gram(B, k)
     U_big = linalg.matmul(Q, Bu)                # (big, k)
@@ -136,7 +133,8 @@ class DistSVD:
 
     def rel_error(self, A, U, S, Vt):
         """||A - U diag(S) Vt||_F / ||A||_F (reference :188-197)."""
-        R = jnp.asarray(A, jnp.float32) - linalg.matmul(
+        Aa = jnp.asarray(A)
+        R = Aa.astype(linalg._acc_dtype(Aa)) - linalg.matmul(
             U * S[None, :], Vt)
         return float(jnp.sqrt(linalg.sqnorm(R) / linalg.sqnorm(A)))
 
@@ -155,6 +153,6 @@ class DistSVD:
             # error of the unnormalized factors == normalized (W scale
             # cancels against H), reference computes it pre-normalize
             errors["recon_err_nnsvd"] = self.rel_error(
-                A, W, jnp.ones((self.k,), jnp.float32), H)
+                A, W, jnp.ones((self.k,), W.dtype), H)
             return (W, H), errors
         return W, H

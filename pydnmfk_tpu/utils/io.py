@@ -132,13 +132,17 @@ class DataWriter:
             for i, (s, e) in enumerate(_splits(W.shape[0], p_r)):
                 np.save(os.path.join(wdir, f"W_{i}.npy"), W[s:e])
         else:
-            for rank, sl in enumerate(partition_slices(
-                    (p_r, p_c), (W.shape[0], H.shape[1]))):
-                rsl, csl = sl
-                np.save(os.path.join(wdir, f"W_{rank}.npy"),
-                        W[rsl.start:rsl.stop])
-                np.save(os.path.join(hdir, f"H_{rank}.npy"),
-                        H[:, csl.start:csl.stop])
+            # 2D grid: reference layout splits W into m/p row-blocks in rank
+            # order and H into n/p column-blocks placed column-major over the
+            # grid (rank (i,j) holds column-block j*p_r+i; see
+            # rank_to_block_order_H), matching reference pyNMF's 2D factor
+            # distribution (utils.py:97-103) and read_factors' reorder.
+            p = p_r * p_c
+            order = rank_to_block_order_H(p_r, p_c)
+            for b, (s, e) in enumerate(_splits(W.shape[0], p)):
+                np.save(os.path.join(wdir, f"W_{b}.npy"), W[s:e])
+            for b, (s, e) in enumerate(_splits(H.shape[1], p)):
+                np.save(os.path.join(hdir, f"H_{order[b]}.npy"), H[:, s:e])
 
     def save_cluster_results(self, stats: dict):
         """results.h5 with the reference's dataset names
@@ -165,8 +169,16 @@ def read_factors(factors_path: str, pgrid: Sequence[int], reg: bool = True):
     """Reassemble saved factor chunks (reference read_factors,
     data_io.py:212-261) — with the corrected rank->block H ordering."""
     tag = "reg_" if reg else ""
-    wfiles = sorted(glob.glob(os.path.join(factors_path, f"W_{tag}factors", "*")))
-    hfiles = sorted(glob.glob(os.path.join(factors_path, f"H_{tag}factors", "*")))
+
+    def numkey(p):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        tail = stem.rsplit("_", 1)[-1]
+        return (0, int(tail)) if tail.isdigit() else (1, 0)
+
+    wfiles = sorted(glob.glob(os.path.join(factors_path, f"W_{tag}factors", "*")),
+                    key=numkey)
+    hfiles = sorted(glob.glob(os.path.join(factors_path, f"H_{tag}factors", "*")),
+                    key=numkey)
     W_parts = [np.load(f) for f in wfiles]
     H_parts = [np.load(f) for f in hfiles]
     W = W_parts[0] if len(W_parts) == 1 else np.vstack(W_parts)

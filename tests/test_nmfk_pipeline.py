@@ -1,0 +1,84 @@
+"""End-to-end NMFk pipeline: k-selection on synthetic data + the reference's
+wtsi golden (examples/dist_pynmfk_1d_wtsi.py: nopt == 4 with k in [1,8],
+FRO/MU, nnsvd init, sill_thr 0.6)."""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import reference_path
+from pydnmfk_tpu import NMFConfig, NMFk, NMFkConfig
+from pydnmfk_tpu.utils.checkpoint import Checkpoint, FLAG_SAVED
+
+
+def test_synthetic_k_selection(tmp_path):
+    """Clean rank-3 data with well-separated features: NMFk must pick 3."""
+    from pydnmfk_tpu.utils.data_generator import generate_data
+    _, _, X = generate_data(m=64, n=48, k=3, seed=100)
+    cfg = NMFkConfig(
+        nmf=NMFConfig(itr=600, norm="fro", method="mu", init="rand",
+                      precision="float64", verbose=False),
+        start_k=1, end_k=5, perturbations=8, noise_var=0.015,
+        sill_thr=0.6, results_path=str(tmp_path) + "/", fname="syn",
+        checkpoint=False)
+    nopt = NMFk(cfg).fit(X)
+    assert nopt == 3, f"expected k=3, got {nopt}"
+
+
+@pytest.mark.slow
+def test_wtsi_golden_nopt(tmp_path):
+    """Reference golden: wtsi.mat selects nopt=4 (4-rank 1D grid there; mesh
+    shape is irrelevant to the statistics here)."""
+    from scipy.io import loadmat
+    X = loadmat(reference_path("data", "wtsi.mat"))["X"].astype(np.float32)
+    cfg = NMFkConfig(
+        nmf=NMFConfig(itr=1000, norm="fro", method="mu", init="nnsvd",
+                      precision="float32"),
+        start_k=1, end_k=8, perturbations=20, noise_var=0.015,
+        sill_thr=0.6, results_path=str(tmp_path) + "/", fname="wtsi",
+        checkpoint=False)
+    nopt = NMFk(cfg).fit(X)
+    assert nopt == 4, f"expected nopt=4 on wtsi, got {nopt}"
+
+
+def test_results_h5_layout(tmp_path):
+    """Per-k results.h5 must carry the reference's dataset names."""
+    import h5py
+    from pydnmfk_tpu.utils.data_generator import generate_data
+    _, _, X = generate_data(m=32, n=20, k=2, seed=7)
+    cfg = NMFkConfig(
+        nmf=NMFConfig(itr=200, norm="fro", method="mu", precision="float64"),
+        start_k=2, end_k=3, perturbations=4,
+        results_path=str(tmp_path) + "/", fname="layout", checkpoint=False)
+    NMFk(cfg).fit(X)
+    with h5py.File(os.path.join(str(tmp_path), "layout", "2",
+                                "results.h5"), "r") as f:
+        for name in ["clusterSilhouetteCoefficients",
+                     "avgSilhouetteCoefficients", "L_err", "L_errDist",
+                     "avgErr", "ErrTol", "AIC"]:
+            assert name in f, name
+        assert f["L_err"].shape == (20,)
+        assert f["ErrTol"].shape == (4,)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Interrupted sweep resumes at the right k and completed ks are
+    skipped."""
+    from pydnmfk_tpu.utils.data_generator import generate_data
+    _, _, X = generate_data(m=32, n=20, k=2, seed=7)
+    rp = str(tmp_path) + "/"
+    cfg = NMFkConfig(
+        nmf=NMFConfig(itr=100, norm="fro", method="mu", precision="float64"),
+        start_k=2, end_k=4, perturbations=3,
+        results_path=rp, fname="ck", checkpoint=True)
+    model = NMFk(cfg)
+    nopt = model.fit(X)
+
+    cp = Checkpoint(os.path.join(rp, "ck"))
+    st = cp.load()
+    assert st.flag == FLAG_SAVED and st.k == 4
+    # a fully-saved k is skipped on resume
+    assert cp.resume_k(cfg.start_k, cfg.step_k) == 5
+    # second fit: everything checkpointed, selection re-runs from disk
+    nopt2 = NMFk(cfg).fit(X)
+    assert nopt2 == nopt
