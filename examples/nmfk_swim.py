@@ -1,0 +1,29 @@
+"""NMFk k-selection on swim.mat — TPU-native port of the reference example
+examples/dist_pynmfk_2d_Swim.py (there: mpirun -n 4, 2x2 grid, KL/MU, rand
+init, 20 perturbations, noise 0.016, itr 5000, k in [14,18]).
+
+Golden answer: nopt == 16.
+"""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pydnmfk_tpu import NMFConfig, NMFk, NMFkConfig
+from pydnmfk_tpu.utils.io import DataReader
+
+
+def main(data_path="/root/reference/data/", results_path="results/",
+         itr=5000):
+    A = DataReader(data_path, "swim", "mat", precision="float32").read_global()
+    cfg = NMFkConfig(
+        nmf=NMFConfig(itr=itr, norm="kl", method="mu", init="rand",
+                      precision="float32", verbose=True),
+        start_k=14, end_k=18, step_k=1,
+        perturbations=20, noise_var=0.016, sampling="uniform",
+        sill_thr=0.6, results_path=results_path, fname="swim")
+    nopt = NMFk(cfg).fit(A)
+    print("Estimated k =", nopt)
+    return nopt
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""MLP-based estimation of the latent dimension k from NMFk statistics.
+
+Reference: pyDNMFk/MLFeatureRecognition.py + the sklearn-MLP JSON round-trip
+in utils.py:393-460, implementing "A neural network for determination of
+latent dimensionality in non-negative matrix factorization".  A pretrained
+model ships with the reference at data/convolute7-model-mAM-p.json
+(relu MLP 21 -> 300 -> 200 -> 100 -> softmax 7).
+
+Re-design: instead of reconstructing an sklearn ``MLPClassifier`` object
+from JSON, the forward pass is implemented directly (jax.numpy) from the
+stored ``coefs_``/``intercepts_`` — sklearn-version independent and
+jit-compatible.  Statistics assembly and the sliding-window voting scheme
+follow the reference exactly (buildStatistics :35-69, predictStatistics
+:72-100).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+DEFAULT_PROPERTIES = ["minSilhouetteCoefficients", "AIC",
+                      "avgSilhouetteCoefficients"]
+ML_WINDOW = 7          # the pretrained model consumes 7-k windows
+
+
+class MLPModel:
+    """Inference-only MLP loaded from the reference's JSON serialization
+    (keys: coefs_, intercepts_, params.activation, out_activation_)."""
+
+    def __init__(self, coefs: List[np.ndarray], intercepts: List[np.ndarray],
+                 activation: str = "relu", out_activation: str = "softmax",
+                 classes: Optional[np.ndarray] = None):
+        self.coefs = [np.asarray(c, dtype=np.float64) for c in coefs]
+        self.intercepts = [np.asarray(b, dtype=np.float64) for b in intercepts]
+        self.activation = activation
+        self.out_activation = out_activation
+        self.classes = (np.arange(self.coefs[-1].shape[1])
+                        if classes is None else np.asarray(classes))
+
+    @classmethod
+    def from_json(cls, path: str) -> "MLPModel":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(d["coefs_"], d["intercepts_"],
+                   activation=d.get("params", {}).get("activation", "relu"),
+                   out_activation=d.get("out_activation_", "softmax"),
+                   classes=np.asarray(d.get("classes_")))
+
+    def _act(self, x):
+        if self.activation == "relu":
+            return np.maximum(x, 0.0)
+        if self.activation == "tanh":
+            return np.tanh(x)
+        if self.activation == "logistic":
+            return 1.0 / (1.0 + np.exp(-x))
+        if self.activation == "identity":
+            return x
+        raise ValueError(f"unknown activation {self.activation!r}")
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        h = np.asarray(X, dtype=np.float64)
+        for W, b in zip(self.coefs[:-1], self.intercepts[:-1]):
+            h = self._act(h @ W + b)
+        z = h @ self.coefs[-1] + self.intercepts[-1]
+        if self.out_activation == "softmax":
+            z = z - z.max(axis=-1, keepdims=True)
+            e = np.exp(z)
+            return e / e.sum(axis=-1, keepdims=True)
+        if self.out_activation == "logistic":
+            return 1.0 / (1.0 + np.exp(-z))
+        return z
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return self.classes[np.argmax(self.predict_proba(X), axis=-1)]
+
+
+class MLFeatureTools:
+    """API mirror of reference MLFeaturetools: scan a results dir of per-k
+    results.h5 files, build feature statistics, vote with a sliding-window
+    MLP to predict k."""
+
+    def __init__(self, target_dir: str, clf: MLPModel, mis_val: int = 1,
+                 hit_val: int = 6, app_data: Optional[Dict] = None,
+                 property_list: Sequence[str] = DEFAULT_PROPERTIES):
+        self.target_dir = target_dir
+        self.clf = clf
+        self.mis_val = mis_val
+        self.hit_val = hit_val
+        self.app_data: Dict = {} if app_data is None else app_data
+        self.property_list = list(property_list)
+
+    def build_statistics(self):
+        """Collect per-k stats (reference buildStatistics :35-69): AIC is
+        min-max normalized; clusterSilhouetteCoefficients zero-padded to
+        max k."""
+        import h5py
+        ks = sorted(int(d) for d in os.listdir(self.target_dir)
+                    if d.isdigit())
+        if not ks:
+            raise FileNotFoundError(
+                f"no per-k result dirs under {self.target_dir}")
+        self.app_data["k"] = np.array(ks)
+        n = len(ks)
+        max_k = max(ks)
+        stats = ["AIC", "L_errDist", "avgErr",
+                 "avgSilhouetteCoefficients"]
+        for s in stats:
+            self.app_data[s] = np.zeros(n)
+        self.app_data["clusterSilhouetteCoefficients"] = np.zeros((n, max_k))
+        self.app_data["minSilhouetteCoefficients"] = np.zeros(n)
+        for i, k in enumerate(ks):
+            with h5py.File(os.path.join(self.target_dir, str(k),
+                                        "results.h5"), "r") as f:
+                sils = np.array(f["clusterSilhouetteCoefficients"])
+                self.app_data["clusterSilhouetteCoefficients"][i, :k] = sils
+                self.app_data["minSilhouetteCoefficients"][i] = sils.min()
+                for s in stats:
+                    self.app_data[s][i] = float(np.array(f[s]))
+        aic = self.app_data["AIC"]
+        rng = np.max(aic - np.min(aic))
+        self.app_data["AIC"] = (aic - np.min(aic)) / (rng if rng else 1.0)
+        return self.app_data
+
+    def predict_statistics(self) -> int:
+        """Sliding-window MLP voting (reference predictStatistics :72-100):
+        each window predicts an offset 0..6 into itself; offset hits
+        accumulate hit_val votes, out-of-range predictions penalize with
+        mis_val; the highest-voted position wins (ties -> largest k)."""
+        if not self.app_data:
+            self.build_statistics()
+        ks = self.app_data["k"]
+        init_feat = ks[0]
+        npreds = ks.shape[0] - ML_WINDOW
+        if npreds <= 0:
+            raise ValueError(
+                f"need more than {ML_WINDOW} k values, have {ks.shape[0]}")
+        windows = np.array([
+            np.concatenate([self.app_data[p][i:i + ML_WINDOW]
+                            for p in self.property_list])
+            for i in range(npreds)])
+        preds = self.clf.predict(windows).astype(np.int64)
+        counts = np.zeros(npreds, dtype=np.int64)
+        for i in range(npreds):
+            if preds[i] == ML_WINDOW - 1:
+                counts[i + ML_WINDOW - 1:] += self.mis_val
+            elif preds[i] == 0:
+                counts[:i + 1] += self.mis_val
+            elif i + preds[i] < npreds:
+                counts[i + preds[i]] += self.hit_val
+        return int(np.nonzero(counts == counts.max())[0][-1] + init_feat)
+
+
+def predict_k(results_dir: str, model_json: str, **kw) -> int:
+    """One-call convenience: results dir + model JSON -> predicted k."""
+    return MLFeatureTools(results_dir, MLPModel.from_json(model_json),
+                          **kw).predict_statistics()

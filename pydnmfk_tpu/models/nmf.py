@@ -36,13 +36,14 @@ from . import updates
 # jitted solver (cached per static signature)
 # ---------------------------------------------------------------------------
 def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
-           W_update: bool, chunk: int):
+           W_update: bool, chunk: int, use_pallas: bool = False):
     norm = norm.lower()
     method = method.lower()
     if norm == "fro" and method == "mu":
         step = partial(updates.mu_fro_step, W_update=W_update)
     elif norm == "kl" and method == "mu":
-        step = partial(updates.mu_kl_step, W_update=W_update, chunk=chunk)
+        step = partial(updates.mu_kl_step, W_update=W_update, chunk=chunk,
+                       use_pallas=use_pallas)
     elif norm == "fro" and method == "hals":
         step = partial(updates.hals_step, W_update=W_update)
     elif norm == "fro" and method == "bcd":
@@ -75,9 +76,10 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
 
 
 @lru_cache(maxsize=64)
-def _jitted_solver(norm, method, itr, W_update, chunk, batched):
+def _jitted_solver(norm, method, itr, W_update, chunk, batched,
+                   use_pallas=False):
     fn = partial(_solve, norm=norm, method=method, itr=itr,
-                 W_update=W_update, chunk=chunk)
+                 W_update=W_update, chunk=chunk, use_pallas=use_pallas)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, 0, 0, None))
     return jax.jit(fn)
@@ -88,9 +90,14 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     """Run the full iteration loop.  ``batched=True`` maps over a leading
     ensemble axis of A/W/H (the reference's serial perturbation loop,
     pyDNMFk.py:226-231, becomes one compiled batch)."""
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = False      # opt-in (cfg.use_pallas=True); TPU-only
+    if use_pallas and jax.default_backend() != "tpu":
+        use_pallas = False
     fn = _jitted_solver(cfg.norm.lower(), cfg.method.lower(), cfg.itr,
                         cfg.W_update if W_update is None else W_update,
-                        cfg.kl_chunk, batched)
+                        cfg.kl_chunk, batched, bool(use_pallas))
     return fn(A, W, H, eps)
 
 

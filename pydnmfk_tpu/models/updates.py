@@ -48,13 +48,13 @@ def mu_fro_step(A, W, H, eps, W_update=True):
 # Multiplicative updates, KL divergence  (reference KL_MU_update_{W,H}:
 # 1D dist_nmf.py:803-849, 2D :293-407)
 # ---------------------------------------------------------------------------
-def mu_kl_step(A, W, H, eps, W_update=True, chunk=0):
+def mu_kl_step(A, W, H, eps, W_update=True, chunk=0, use_pallas=False):
     if W_update:
         h_rowsum = linalg.sum_axis(H, axis=1)       # (k,) psum over 'c'
-        UHT = kl_uht(A, W, H, eps, chunk)           # (m,k)
+        UHT = kl_uht(A, W, H, eps, chunk, use_pallas)   # (m,k)
         W = W * UHT / (h_rowsum[None, :] + eps)
     w_colsum = linalg.sum_axis(W, axis=0)           # (k,) psum over 'r'
-    WTU = kl_wtu(A, W, H, eps, chunk)               # (k,n), uses updated W
+    WTU = kl_wtu(A, W, H, eps, chunk, use_pallas)   # (k,n), uses updated W
     H = H * WTU / (w_colsum[:, None] + eps)
     return W, H
 

@@ -30,16 +30,24 @@ def _ratio(A, W, H, eps):
 
 
 def kl_uht(A: jax.Array, W: jax.Array, H: jax.Array, eps: float,
-           chunk: int = 0) -> jax.Array:
-    """(A / (W H + eps)) @ H^T without materializing U when chunk > 0."""
+           chunk: int = 0, use_pallas: bool = False) -> jax.Array:
+    """(A / (W H + eps)) @ H^T without materializing U when chunk > 0 or
+    use_pallas (TPU fused kernel)."""
+    if use_pallas:
+        from .pallas_kernels import kl_uht_pallas
+        return kl_uht_pallas(A, W, H, eps)
     if not chunk or chunk >= A.shape[0]:
         return matmul(_ratio(A, W, H, eps), H.T)
     return _chunked(A, W, H, eps, chunk, want="uht")
 
 
 def kl_wtu(A: jax.Array, W: jax.Array, H: jax.Array, eps: float,
-           chunk: int = 0) -> jax.Array:
-    """W^T @ (A / (W H + eps)) without materializing U when chunk > 0."""
+           chunk: int = 0, use_pallas: bool = False) -> jax.Array:
+    """W^T @ (A / (W H + eps)) without materializing U when chunk > 0 or
+    use_pallas (TPU fused kernel)."""
+    if use_pallas:
+        from .pallas_kernels import kl_wtu_pallas
+        return kl_wtu_pallas(A, W, H, eps)
     if not chunk or chunk >= A.shape[0]:
         return matmul(W.T, _ratio(A, W, H, eps))
     return _chunked(A, W, H, eps, chunk, want="wtu")

@@ -1,0 +1,151 @@
+"""Pallas TPU kernels for the NMF hot path.
+
+The KL MU update needs UHT = U @ H^T and WTU = W^T @ U where
+U = A / (W H + eps) is an m x n intermediate.  The reference materializes U
+every iteration (dist_nmf.py:806,312,338) and so does plain XLA (U is a
+matmul operand, so fusion cannot elide it).  These kernels compute the
+products tile-by-tile with U living only in VMEM — flash-attention-style —
+cutting HBM traffic from (3 reads + 1 write) of an A-sized buffer to one
+read of A, and halving peak memory.
+
+Grid layout: (row_tiles, col_tiles) with the column dimension innermost.
+For each row-tile i the kernel accumulates sum_j U_ij @ H_j^T into the
+(TM, k) output block (revisited across j — Pallas keeps it in VMEM);
+the WTU kernel mirrors this with the row dimension innermost.
+k is padded to the 128-lane boundary at the caller.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_to(x, mult, axis):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x, 0
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), pad
+
+
+# ---------------------------------------------------------------------------
+# UHT = (A / (W H + eps)) @ H^T        A:(m,n)  W:(m,k)  H:(k,n) -> (m,k)
+# ---------------------------------------------------------------------------
+def _uht_kernel(a_ref, w_ref, h_ref, eps_ref, out_ref):
+    j = pl.program_id(1)
+    wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
+    u = a_ref[:].astype(jnp.float32) / (wh + eps_ref[0, 0])
+    part = jnp.dot(u, h_ref[:].T, preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+# ---------------------------------------------------------------------------
+# WTU = W^T @ (A / (W H + eps))        -> (k, n)
+# ---------------------------------------------------------------------------
+def _wtu_kernel(a_ref, w_ref, h_ref, eps_ref, out_ref):
+    i = pl.program_id(1)          # row dimension is innermost here
+    wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
+    u = a_ref[:].astype(jnp.float32) / (wh + eps_ref[0, 0])
+    part = jnp.dot(w_ref[:].T, u, preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def kl_uht_pallas(A, W, H, eps, tm: int = 512, tn: int = 512):
+    """Fused (A/(WH+eps)) @ H^T without an HBM-resident U."""
+    m, n = A.shape
+    k = W.shape[1]
+    A, pm = _pad_to(A, tm, 0)
+    A, pn = _pad_to(A, tn, 1)
+    W, _ = _pad_to(W, tm, 0)
+    Wp, pk = _pad_to(W, 128, 1)          # pad k to lane width
+    Hp, _ = _pad_to(H, 128, 0)
+    Hp, _ = _pad_to(Hp, tn, 1)
+    mp, np_ = A.shape
+    kp = Wp.shape[1]
+    # padded-A rows/cols are zero -> U rows 0 (0/(0+eps)); padded H cols are
+    # zero so they contribute nothing to U @ H^T; padded k columns of W add
+    # zero to WH.  All padding is inert.
+    grid = (mp // tm, np_ // tn)
+    out = pl.pallas_call(
+        _uht_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, kp), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, kp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * np_ * kp,
+            bytes_accessed=mp * np_ * A.dtype.itemsize + mp * kp * 4,
+            transcendentals=0),
+    )(A, Wp, Hp, jnp.asarray([[eps]], jnp.float32))
+    return out[:m, :k].astype(A.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def kl_wtu_pallas(A, W, H, eps, tm: int = 512, tn: int = 512):
+    """Fused W^T @ (A/(WH+eps)) without an HBM-resident U."""
+    m, n = A.shape
+    k = W.shape[1]
+    A, pm = _pad_to(A, tm, 0)
+    A, pn = _pad_to(A, tn, 1)
+    W, _ = _pad_to(W, tm, 0)
+    Wp, pk = _pad_to(W, 128, 1)
+    Hp, _ = _pad_to(H, 128, 0)
+    Hp, _ = _pad_to(Hp, tn, 1)
+    mp, np_ = A.shape
+    kp = Wp.shape[1]
+    grid = (np_ // tn, mp // tm)         # rows innermost: output revisited
+    out = pl.pallas_call(
+        _wtu_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, kp), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((kp, tn), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp, np_), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * np_ * kp,
+            bytes_accessed=mp * np_ * A.dtype.itemsize + kp * np_ * 4,
+            transcendentals=0),
+    )(A, Wp, Hp, jnp.asarray([[eps]], jnp.float32))
+    return out[:k, :n].astype(A.dtype)
+
+
+def pallas_available() -> bool:
+    return jax.default_backend() == "tpu"

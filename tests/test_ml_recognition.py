@@ -1,0 +1,96 @@
+"""MLP k-predictor: forward-pass parity with sklearn on the reference's
+pretrained JSON model, plus the voting scheme on synthetic statistics.
+
+Mirrors reference tests/test_feature_recognition.py (manual/not-in-CI
+there; automated here with synthetic per-k results)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import reference_path
+from pydnmfk_tpu.models.ml_recognition import (MLFeatureTools, MLPModel,
+                                               predict_k)
+
+MODEL_JSON = "data/convolute7-model-mAM-p.json"
+
+
+def test_forward_pass_matches_sklearn():
+    """Our numpy forward pass must reproduce sklearn MLPClassifier inference
+    for the committed pretrained model."""
+    path = reference_path(MODEL_JSON)
+    model = MLPModel.from_json(path)
+    rng = np.random.default_rng(0)
+    X = rng.random((32, 21))
+
+    # independently deserialize into sklearn and compare
+    from sklearn.neural_network import MLPClassifier
+    with open(path) as f:
+        d = json.load(f)
+    clf = MLPClassifier(hidden_layer_sizes=d["params"]["hidden_layer_sizes"],
+                        activation=d["params"]["activation"])
+    clf.coefs_ = [np.array(c) for c in d["coefs_"]]
+    clf.intercepts_ = [np.array(b) for b in d["intercepts_"]]
+    clf.n_layers_ = d["n_layers_"]
+    clf.n_outputs_ = d["n_outputs_"]
+    clf.out_activation_ = d["out_activation_"]
+    clf.classes_ = np.array(d["classes_"])
+    from sklearn.preprocessing import LabelBinarizer
+    lb = LabelBinarizer()
+    lb.classes_ = np.array(d["_label_binarizer"]["classes_"])
+    lb.y_type_ = d["_label_binarizer"]["y_type_"]
+    lb.sparse_input_ = d["_label_binarizer"]["sparse_input_"]
+    clf._label_binarizer = lb
+
+    np.testing.assert_allclose(model.predict_proba(X),
+                               clf.predict_proba(X), rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(model.predict(X), clf.predict(X))
+
+
+def _write_results(tmp_path, ks, true_k):
+    """Synthetic per-k results.h5: silhouettes collapse after true_k."""
+    import h5py
+    for k in ks:
+        d = os.path.join(str(tmp_path), str(k))
+        os.makedirs(d, exist_ok=True)
+        sils = np.ones(k) if k <= true_k else np.concatenate(
+            [np.ones(true_k), 0.2 * np.ones(k - true_k)])
+        err = 1.0 / min(k, true_k) + (0.001 * k)
+        with h5py.File(os.path.join(d, "results.h5"), "w") as f:
+            f.create_dataset("clusterSilhouetteCoefficients", data=sils)
+            f.create_dataset("avgSilhouetteCoefficients", data=sils.mean())
+            f.create_dataset("L_err", data=np.full(10, err))
+            f.create_dataset("L_errDist", data=err)
+            f.create_dataset("avgErr", data=err)
+            f.create_dataset("ErrTol", data=np.full(4, err))
+            f.create_dataset("AIC", data=-1000.0 / min(k, true_k))
+
+
+def test_build_statistics_shapes(tmp_path):
+    ks = range(1, 12)
+    _write_results(tmp_path, ks, true_k=4)
+    model = MLPModel.from_json(reference_path(MODEL_JSON))
+    t = MLFeatureTools(str(tmp_path), model)
+    data = t.build_statistics()
+    assert data["k"].tolist() == list(ks)
+    assert data["clusterSilhouetteCoefficients"].shape == (11, 11)
+    assert data["AIC"].min() == 0.0 and data["AIC"].max() == 1.0
+    assert data["minSilhouetteCoefficients"][3] == 1.0
+    assert data["minSilhouetteCoefficients"][10] == pytest.approx(0.2)
+
+
+def test_predict_runs_end_to_end(tmp_path):
+    ks = range(1, 15)
+    _write_results(tmp_path, ks, true_k=5)
+    pred = predict_k(str(tmp_path), reference_path(MODEL_JSON))
+    # pretrained net was trained on real NMFk statistics; on synthetic
+    # stats we only require a legal, in-range answer
+    assert 1 <= pred <= 14
+
+
+def test_too_few_ks_raises(tmp_path):
+    _write_results(tmp_path, range(1, 6), true_k=3)
+    model = MLPModel.from_json(reference_path(MODEL_JSON))
+    with pytest.raises(ValueError, match="need more than"):
+        MLFeatureTools(str(tmp_path), model).predict_statistics()
