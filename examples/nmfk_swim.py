@@ -2,7 +2,12 @@
 examples/dist_pynmfk_2d_Swim.py (there: mpirun -n 4, 2x2 grid, KL/MU, rand
 init, 20 perturbations, noise 0.016, itr 5000, k in [14,18]).
 
-Golden answer: nopt == 16.
+The reference example asserts nopt == 16, but that golden is not
+reproducible by the reference's own current code (its ensembles at k=14
+fail the example's sill_thr=0.6 gate, so pvalueAnalysis returns start_k) —
+see docs/PARITY.md for the trajectory-level evidence.  Both the reference
+and this framework select 14 under these exact parameters; the silhouette
+peak and Wilcoxon statistics nevertheless point at 16.
 """
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
