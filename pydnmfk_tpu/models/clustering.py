@@ -50,12 +50,13 @@ def greedy_assignment(dist):
 
     Returns perm such that new_W[:, i] = W[:, perm[i]]."""
     k = dist.shape[0]
-    neg = jnp.asarray(-jnp.inf, dist.dtype)
+    neg = jnp.float32(-jnp.inf)
 
     def body(_, state):
         X, perm = state
         flat = jnp.argmax(X)
-        r, c = flat // k, flat % k
+        r = (flat // k).astype(jnp.int32)
+        c = (flat % k).astype(jnp.int32)
         perm = perm.at[r].set(c)
         X = X.at[r, :].set(neg)
         X = X.at[:, c].set(neg)

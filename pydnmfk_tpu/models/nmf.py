@@ -29,6 +29,7 @@ from ..config import NMFConfig
 from ..ops import linalg
 from ..parallel.mesh import GridContext, grid_context
 from ..utils.pruning import PruneState, prune_all, unprune_factors
+from ..utils import timing
 from . import updates
 
 
@@ -156,22 +157,30 @@ class NMF:
         (pyDNMF.py:137-182)."""
         cfg = self.cfg
         A = self._as_global(A)
-        if factors is not None:
-            W = jnp.asarray(factors[0], dtype=cfg.dtype)
-            H = jnp.asarray(factors[1], dtype=cfg.dtype)
-        else:
-            W, H = self.init_factors(A, key=key)
+        with timing.timed("init_factors"):
+            if factors is not None:
+                W = jnp.asarray(factors[0], dtype=cfg.dtype)
+                H = jnp.asarray(factors[1], dtype=cfg.dtype)
+            else:
+                W, H = self.init_factors(A, key=key)
 
         if cfg.prune:
             A, W, H, self.prune_state = prune_all(A, W, H)
 
         eps = jnp.asarray(cfg.eps, dtype=cfg.dtype)
-        W, H, err = solve(A, W, H, eps, cfg)
+        with timing.timed("solve"):
+            W, H, err = solve(A, W, H, eps, cfg)
+            W, H, err = jax.block_until_ready((W, H, err))
         self.recon_err = float(err)
         self._A, self._W, self._H = A, W, H   # pruned-space views for column_err
 
         if cfg.prune:
             W, H = unprune_factors(W, H, self.prune_state)
+        if cfg.save_factors:
+            from ..utils.io import DataWriter
+            with timing.timed("save_factors"):
+                DataWriter(cfg.results_path, cfg.grid).save_factors(
+                    np.asarray(W), np.asarray(H))
         return W, H, self.recon_err
 
     def column_err(self) -> np.ndarray:

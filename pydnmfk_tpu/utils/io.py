@@ -83,6 +83,11 @@ class DataReader:
     def read(self, ctx: Optional[GridContext] = None) -> jax.Array | np.ndarray:
         """Read and (if a mesh context is given) place as a sharded global
         array, loading only locally-addressable blocks."""
+        from . import timing
+        with timing.timed("read"):
+            return self._read_impl(ctx)
+
+    def _read_impl(self, ctx):
         if ctx is None or ctx.n_devices == 1:
             return self.read_global()
         if self.ftype == "folder":
