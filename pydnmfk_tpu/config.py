@@ -28,6 +28,20 @@ def ensure_precision_enabled(precision: str) -> None:
         jax.config.update("jax_enable_x64", True)
 
 
+def enable_compilation_cache(path: str = "~/.cache/pydnmfk_tpu_xla") -> None:
+    """Persistent XLA compilation cache: an NMFk sweep compiles one program
+    per (k, shape) — cached, re-runs and restarts skip all compiles."""
+    import os
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: flag names differ; cache is an optimization only
+
+
 @dataclasses.dataclass(frozen=True)
 class NMFConfig:
     """Configuration for a single NMF factorization (one k).

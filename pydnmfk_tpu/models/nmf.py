@@ -127,11 +127,29 @@ class NMF:
         self.recon_err = None
         self.prune_state: Optional[PruneState] = None
 
-    def _as_global(self, A) -> jax.Array:
-        A = jnp.asarray(A, dtype=self.cfg.dtype)
+    def _mesh_pad(self, A, W, H):
+        """Zero-pad (A, W, H) so every dim tiles evenly over the mesh —
+        XLA's NamedSharding rejects uneven shapes (SURVEY hard-part (d)).
+        Padded rows/cols are exact zeros: multiplicative updates keep the
+        corresponding W rows / H cols at ~eps, perturbing global statistics
+        only at the eps^2 level.  Returns the unpadded (m, n)."""
+        m, n = A.shape
+        if self.ctx.n_devices == 1:
+            return A, W, H, (m, n)
+        from ..parallel.partition import mesh_padding
+        pm, pn = mesh_padding((m, n), self.ctx.shape)
+        if pm or pn:
+            A = jnp.pad(A, ((0, pm), (0, pn)))
+            W = jnp.pad(W, ((0, pm), (0, 0)))
+            H = jnp.pad(H, ((0, 0), (0, pn)))
+        return A, W, H, (m, n)
+
+    def _shard(self, A, W, H):
         if self.ctx.n_devices > 1:
             A = jax.device_put(A, self.ctx.sharding_A)
-        return A
+            W = jax.device_put(W, self.ctx.sharding_W)
+            H = jax.device_put(H, self.ctx.sharding_H)
+        return A, W, H
 
     def init_factors(self, A, key=None):
         m, n = A.shape
@@ -147,16 +165,13 @@ class NMF:
             H = H.astype(cfg.dtype)
         else:
             raise ValueError(f"unknown init {cfg.init!r}")
-        if self.ctx.n_devices > 1:
-            W = jax.device_put(W, self.ctx.sharding_W)
-            H = jax.device_put(H, self.ctx.sharding_H)
         return W, H
 
     def fit(self, A, factors: Optional[Tuple] = None, key=None):
         """Returns (W, H, recon_err) as the reference PyNMF.fit does
         (pyDNMF.py:137-182)."""
         cfg = self.cfg
-        A = self._as_global(A)
+        A = jnp.asarray(A, dtype=cfg.dtype)
         with timing.timed("init_factors"):
             if factors is not None:
                 W = jnp.asarray(factors[0], dtype=cfg.dtype)
@@ -167,13 +182,21 @@ class NMF:
         if cfg.prune:
             A, W, H, self.prune_state = prune_all(A, W, H)
 
+        A, W, H, (m_sol, n_sol) = self._mesh_pad(A, W, H)
+        A, W, H = self._shard(A, W, H)
+
         eps = jnp.asarray(cfg.eps, dtype=cfg.dtype)
         with timing.timed("solve"):
             W, H, err = solve(A, W, H, eps, cfg)
             W, H, err = jax.block_until_ready((W, H, err))
         self.recon_err = float(err)
-        self._A, self._W, self._H = A, W, H   # pruned-space views for column_err
+        # (possibly padded) views for column_err; _valid_n masks padding
+        self._A, self._W, self._H = A, W, H
+        self._valid_n = n_sol
 
+        if W.shape[0] != m_sol or H.shape[1] != n_sol:
+            W = W[:m_sol]
+            H = H[:, :n_sol]
         if cfg.prune:
             W, H = unprune_factors(W, H, self.prune_state)
         if cfg.save_factors:
@@ -188,7 +211,7 @@ class NMF:
         back to global n (reference pyDNMF.py:220-239 computes it on the
         pruned matrices as well)."""
         col = linalg.column_error(self._A, self._W, self._H)
-        col = np.asarray(jax.device_get(col))
+        col = np.asarray(jax.device_get(col))[:self._valid_n]
         if self.prune_state is not None:
             full = np.zeros(self.prune_state.n_cols_full, dtype=col.dtype)
             full[np.asarray(self.prune_state.col_mask)] = col

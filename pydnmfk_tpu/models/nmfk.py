@@ -41,8 +41,9 @@ from .svd import DistSVD
 
 class NMFk:
     def __init__(self, cfg: NMFkConfig, ctx: Optional[GridContext] = None):
-        from ..config import ensure_precision_enabled
+        from ..config import ensure_precision_enabled, enable_compilation_cache
         ensure_precision_enabled(cfg.nmf.precision)
+        enable_compilation_cache()
         self.cfg = cfg
         self.ctx = ctx if ctx is not None else grid_context(*cfg.nmf.grid)
         self.results_path = os.path.join(cfg.results_path, cfg.fname)
@@ -57,8 +58,19 @@ class NMFk:
         cfg = self.cfg
         os.makedirs(self.results_path, exist_ok=True)
         A = jnp.asarray(A, dtype=cfg.nmf.dtype)
+        self._orig_shape = A.shape
         if self.ctx.n_devices > 1:
+            # pad-and-mask for XLA's even-tiling requirement (the regression
+            # NMF re-pads internally from the original, so downstream stats
+            # stay in original coordinates)
+            from ..parallel.partition import mesh_padding
+            self._A_orig = A
+            pm, pn = mesh_padding(A.shape, self.ctx.shape)
+            if pm or pn:
+                A = jnp.pad(A, ((0, pm), (0, pn)))
             A = jax.device_put(A, self.ctx.sharding_A)
+        else:
+            self._A_orig = A
 
         start_k = self.checkpoint.resume_k(cfg.start_k, cfg.step_k)
         for k in range(start_k, cfg.end_k + 1, cfg.step_k):
@@ -139,16 +151,16 @@ class NMFk:
              _sils) = cluster_ensemble(W_all, H_all, cfg.nmf.eps)
         self.checkpoint.save(FLAG_CLUSTERED, cfg.perturbations, k)
 
-        AvgW = np.asarray(centroids)
-        AvgH = np.asarray(jnp.median(H_all_c, axis=0))
+        m, n = self._orig_shape
+        # slice off mesh padding before regression (it re-pads internally)
+        AvgW = np.asarray(centroids)[:m]
+        AvgH = np.asarray(jnp.median(H_all_c, axis=0))[:, :n]
 
         # regression re-fit of H with W frozen (pyDNMFk.py:245-248)
         reg_cfg = cfg.nmf.replace(k=k, W_update=False)
         reg = NMF(reg_cfg, self.ctx)
-        AvgW, AvgH, L_errDist = reg.fit(A, factors=(AvgW, AvgH))
+        AvgW, AvgH, L_errDist = reg.fit(self._A_orig, factors=(AvgW, AvgH))
         col_err = reg.column_err()
-
-        m, n = A.shape
         avg_err = float(np.mean(recon_errs))
         aic = 2 * k + m * n * float(np.log(avg_err / (m * n)))
 

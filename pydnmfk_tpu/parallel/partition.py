@@ -76,6 +76,20 @@ def partition_slices(pgrid: Sequence[int], shape: Sequence[int]
     return [BlockPartition(r, pgrid, shape).slices() for r in range(n)]
 
 
+def padded_dim(dim: int, nblocks: int) -> int:
+    """Smallest multiple of nblocks >= dim."""
+    return -(-dim // nblocks) * nblocks
+
+
+def mesh_padding(shape: Sequence[int], pgrid: Sequence[int]):
+    """Per-dim zero-padding needed to make ``shape`` explicitly shardable
+    over ``pgrid`` (XLA's NamedSharding requires even tiling; the padded
+    rows/cols are exact zeros, which every NMF update treats as inert —
+    their W rows / H cols decay to ~eps and perturb global statistics at
+    the eps^2 level)."""
+    return tuple(padded_dim(d, p) - d for d, p in zip(shape, pgrid))
+
+
 def rank_to_block_order_H(p_r: int, p_c: int) -> List[int]:
     """Reorder gathered H chunks from rank order to column-block order.
 

@@ -41,6 +41,8 @@ class Runner:
         self.sampling = sampling
         self.process = process
         timing.enable(timing_stats)
+        from .config import enable_compilation_cache
+        enable_compilation_cache()
 
     def run(self, grid: Sequence[int], fpath="data/", ftype="mat",
             fname="A", results_path="results/", k_range=(1, 10),

@@ -71,11 +71,22 @@ class DataReader:
         return data.astype(self.precision)
 
     def read_chunk(self, rank: int) -> np.ndarray:
-        """One grid block (reference data_partition, data_io.py:70-83)."""
+        """One grid block (reference data_partition, data_io.py:70-83).
+        .npy goes through the native C block reader (pydnmfk_tpu.native)
+        when available, touching only the block's bytes."""
         if self.ftype == "folder":
             return np.load(os.path.join(
                 self.fpath, f"{self.fname}{rank}.npy")).astype(self.precision)
         path = os.path.join(self.fpath, self.fname + "." + self.ftype)
+        if self.ftype == "npy":
+            from ..native import _parse_npy_header, read_npy_block
+            info = _parse_npy_header(path)
+            if info is not None and len(info[1]) == 2:
+                sl = BlockPartition(rank, self.pgrid, info[1]).slices()
+                blk = read_npy_block(path, sl[0].start, sl[0].stop,
+                                     sl[1].start, sl[1].stop)
+                if blk is not None:
+                    return blk.astype(self.precision)
         full = _read_full(path, self.ftype)
         sl = BlockPartition(rank, self.pgrid, full.shape).slices()
         return np.asarray(full[sl]).astype(self.precision)
@@ -97,9 +108,27 @@ class DataReader:
             data = _read_full(path, self.ftype)
         shape = data.shape
         sharding = ctx.sharding_A
+        p_r, p_c = ctx.shape
+        if shape[0] % p_r or shape[1] % p_c:
+            # XLA's explicit shardings require even tiling; return the host
+            # array — NMF/NMFk pad-and-mask before sharding (models/nmf.py
+            # _mesh_pad)
+            return np.asarray(data).astype(self.precision)
 
-        def cb(index):
-            return np.asarray(data[index]).astype(self.precision)
+        if self.ftype == "npy":
+            from ..native import read_npy_block
+            path = os.path.join(self.fpath, self.fname + "." + self.ftype)
+
+            def cb(index):
+                rs, cs = index
+                blk = read_npy_block(path, rs.start or 0, rs.stop or shape[0],
+                                     cs.start or 0, cs.stop or shape[1])
+                if blk is None:
+                    blk = np.asarray(data[index])
+                return blk.astype(self.precision)
+        else:
+            def cb(index):
+                return np.asarray(data[index]).astype(self.precision)
 
         return jax.make_array_from_callback(shape, sharding, cb)
 
