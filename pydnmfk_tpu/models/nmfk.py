@@ -115,6 +115,13 @@ class NMFk:
         batch = cfg.ensemble_batch or n_pert
         key = jax.random.key(ncfg.seed)
 
+        # ensemble parallelism: shard the perturbation axis over the mesh's
+        # 'e' axis when present (the reference's serial loop, now a third
+        # parallel dimension on top of the r x c grid)
+        from ..parallel.mesh import ENSEMBLE_AXIS
+        ax = dict(zip(self.ctx.mesh.axis_names, self.ctx.mesh.devices.shape))
+        p_e = ax.get(ENSEMBLE_AXIS, 1)
+
         W_parts, H_parts, err_parts = [], [], []
         done = 0
         while done < n_pert:
@@ -122,6 +129,13 @@ class NMFk:
             kb = jax.random.fold_in(key, done)
             A_ens = sample_ensemble(A, kb, cfg.noise_var, b, cfg.sampling)
             W0, H0 = self._init_ensemble(A_ens, k)
+            if p_e > 1 and b % p_e == 0:
+                A_ens = jax.device_put(A_ens,
+                                       self.ctx.sharding(self.ctx.spec_A_batched))
+                W0 = jax.device_put(W0,
+                                    self.ctx.sharding(self.ctx.spec_W_batched))
+                H0 = jax.device_put(H0,
+                                    self.ctx.sharding(self.ctx.spec_H_batched))
             W, H, errs = nmf_mod.solve(A_ens, W0, H0, eps, ncfg,
                                        W_update=True, batched=True)
             W_parts.append(W)
