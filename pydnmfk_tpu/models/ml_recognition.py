@@ -44,10 +44,11 @@ class MLPModel:
     def from_json(cls, path: str) -> "MLPModel":
         with open(path) as f:
             d = json.load(f)
+        classes = d.get("classes_")
         return cls(d["coefs_"], d["intercepts_"],
                    activation=d.get("params", {}).get("activation", "relu"),
                    out_activation=d.get("out_activation_", "softmax"),
-                   classes=np.asarray(d.get("classes_")))
+                   classes=None if classes is None else np.asarray(classes))
 
     def _act(self, x):
         if self.activation == "relu":

@@ -94,7 +94,13 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = False      # opt-in (cfg.use_pallas=True); TPU-only
-    if use_pallas and jax.default_backend() != "tpu":
+    if use_pallas and (
+            jax.default_backend() != "tpu"
+            or A.dtype == jnp.float64        # kernels accumulate in f32
+            or (hasattr(A, "sharding")
+                and getattr(A.sharding, "num_devices", 1) > 1)):
+        # no SPMD partitioning rule for pallas_call on sharded globals;
+        # multi-device KL uses the chunked/XLA path
         use_pallas = False
     fn = _jitted_solver(cfg.norm.lower(), cfg.method.lower(), cfg.itr,
                         cfg.W_update if W_update is None else W_update,

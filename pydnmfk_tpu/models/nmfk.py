@@ -60,17 +60,14 @@ class NMFk:
         A = jnp.asarray(A, dtype=cfg.nmf.dtype)
         self._orig_shape = A.shape
         if self.ctx.n_devices > 1:
-            # pad-and-mask for XLA's even-tiling requirement (the regression
-            # NMF re-pads internally from the original, so downstream stats
-            # stay in original coordinates)
+            # pad-and-mask for XLA's even-tiling requirement; downstream
+            # stats stay in original coordinates (padding is appended, so
+            # A_padded[:m, :n] recovers the original for the regression)
             from ..parallel.partition import mesh_padding
-            self._A_orig = A
             pm, pn = mesh_padding(A.shape, self.ctx.shape)
             if pm or pn:
                 A = jnp.pad(A, ((0, pm), (0, pn)))
             A = jax.device_put(A, self.ctx.sharding_A)
-        else:
-            self._A_orig = A
 
         start_k = self.checkpoint.resume_k(cfg.start_k, cfg.step_k)
         for k in range(start_k, cfg.end_k + 1, cfg.step_k):
@@ -117,19 +114,20 @@ class NMFk:
 
         # ensemble parallelism: shard the perturbation axis over the mesh's
         # 'e' axis when present (the reference's serial loop, now a third
-        # parallel dimension on top of the r x c grid)
-        from ..parallel.mesh import ENSEMBLE_AXIS
-        ax = dict(zip(self.ctx.mesh.axis_names, self.ctx.mesh.devices.shape))
-        p_e = ax.get(ENSEMBLE_AXIS, 1)
+        # parallel dimension on top of the r x c grid).  Batches are padded
+        # up to a multiple of p_e with extra members (discarded after the
+        # solve) so the sharding never silently degrades to replication.
+        p_e = self.ctx.p_e
 
         W_parts, H_parts, err_parts = [], [], []
         done = 0
         while done < n_pert:
             b = min(batch, n_pert - done)
+            b_pad = -(-b // p_e) * p_e
             kb = jax.random.fold_in(key, done)
-            A_ens = sample_ensemble(A, kb, cfg.noise_var, b, cfg.sampling)
+            A_ens = sample_ensemble(A, kb, cfg.noise_var, b_pad, cfg.sampling)
             W0, H0 = self._init_ensemble(A_ens, k)
-            if p_e > 1 and b % p_e == 0:
+            if p_e > 1:
                 A_ens = jax.device_put(A_ens,
                                        self.ctx.sharding(self.ctx.spec_A_batched))
                 W0 = jax.device_put(W0,
@@ -138,9 +136,9 @@ class NMFk:
                                     self.ctx.sharding(self.ctx.spec_H_batched))
             W, H, errs = nmf_mod.solve(A_ens, W0, H0, eps, ncfg,
                                        W_update=True, batched=True)
-            W_parts.append(W)
-            H_parts.append(H)
-            err_parts.append(errs)
+            W_parts.append(W[:b])
+            H_parts.append(H[:b])
+            err_parts.append(errs[:b])
             done += b
             self.checkpoint.save(FLAG_RUNNING, done, k, ncfg.seed)
         cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0))
@@ -166,14 +164,16 @@ class NMFk:
         self.checkpoint.save(FLAG_CLUSTERED, cfg.perturbations, k)
 
         m, n = self._orig_shape
-        # slice off mesh padding before regression (it re-pads internally)
+        # slice off mesh padding before regression (it re-pads internally;
+        # padding is appended so A[:m, :n] is the original matrix)
         AvgW = np.asarray(centroids)[:m]
         AvgH = np.asarray(jnp.median(H_all_c, axis=0))[:, :n]
 
         # regression re-fit of H with W frozen (pyDNMFk.py:245-248)
         reg_cfg = cfg.nmf.replace(k=k, W_update=False)
         reg = NMF(reg_cfg, self.ctx)
-        AvgW, AvgH, L_errDist = reg.fit(self._A_orig, factors=(AvgW, AvgH))
+        A_reg = A[:m, :n] if A.shape != (m, n) else A
+        AvgW, AvgH, L_errDist = reg.fit(A_reg, factors=(AvgW, AvgH))
         col_err = reg.column_err()
         avg_err = float(np.mean(recon_errs))
         aic = 2 * k + m * n * float(np.log(avg_err / (m * n)))

@@ -47,10 +47,11 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            if not _build():
-                return None
+        stale = (not os.path.exists(_SO)
+                 or (os.path.exists(_SRC)
+                     and os.path.getmtime(_SO) < os.path.getmtime(_SRC)))
+        if stale and not _build():
+            return None
         try:
             lib = ctypes.CDLL(_SO)
             lib.read_block.restype = ctypes.c_int

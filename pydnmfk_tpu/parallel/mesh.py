@@ -131,6 +131,11 @@ class GridContext:
         return (ax.get(ROW_AXIS, 1), ax.get(COL_AXIS, 1))
 
     @property
+    def p_e(self) -> int:
+        ax = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        return ax.get(ENSEMBLE_AXIS, 1)
+
+    @property
     def n_devices(self) -> int:
         return int(np.prod(self.mesh.devices.shape))
 

@@ -24,11 +24,11 @@ def cut_zero(ten: np.ndarray, thresh: float = 1e-8):
     ten = np.asarray(ten)
     index_lists = []
     for d in range(ten.ndim):
+        orig_dim = ten.shape[d]
         axes = tuple(i for i in range(ten.ndim) if i != d)
         keep = np.nonzero(ten.sum(axis=axes) > thresh)[0]
         ten = np.take(ten, keep, axis=d)
-        index_lists.append((keep, None))
-    # record original dims after the fact (pre-prune dims per axis)
+        index_lists.append((keep, orig_dim))
     return ten, index_lists
 
 
