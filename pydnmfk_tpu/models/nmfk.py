@@ -154,8 +154,26 @@ class NMFk:
         if cfg.nmf.verbose:
             print(f"*************Computing for k={k}************")
 
-        with timing.timed("ensemble_solve"):
-            W_all, H_all, recon_errs = self._solve_ensemble(A, k)
+        # mid-k resume: a completed ensemble is cached on disk, so an
+        # interrupted clustering/regression stage never recomputes the
+        # perturbations (the reference records per-perturbation state but
+        # always restarts the loop from 0, pyDNMFk.py:188-196,226)
+        ens_cache = os.path.join(k_path, "ensemble.npz")
+        st = self.checkpoint.state
+        resume_ok = (cfg.checkpoint and st is not None and st.k == k
+                     and st.flag >= FLAG_PERTS_DONE
+                     and os.path.exists(ens_cache))
+        if resume_ok:
+            with np.load(ens_cache) as d:
+                W_all = jnp.asarray(d["W"])
+                H_all = jnp.asarray(d["H"])
+                recon_errs = d["errs"]
+        else:
+            with timing.timed("ensemble_solve"):
+                W_all, H_all, recon_errs = self._solve_ensemble(A, k)
+            if cfg.checkpoint:
+                np.savez(ens_cache, W=np.asarray(W_all),
+                         H=np.asarray(H_all), errs=recon_errs)
         self.checkpoint.save(FLAG_PERTS_DONE, cfg.perturbations, k)
 
         with timing.timed("clustering"):

@@ -149,3 +149,41 @@ def kl_wtu_pallas(A, W, H, eps, tm: int = 512, tn: int = 512):
 
 def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded wrappers: per-shard fused kernels + the exact collective the
+# reference hand-codes (UHT_glob/WTU_glob, dist_nmf.py:293-343).
+# U block (i,j) = A_ij / (W_i H_j + eps) needs no gather at all with the
+# canonical shardings (W replicated over 'c' holds the block's rows, H
+# replicated over 'r' holds its cols); the products then reduce:
+#   UHT_i = psum_c( U_ij @ H_j^T )      WTU_j = psum_r( W_i^T @ U_ij )
+# ---------------------------------------------------------------------------
+def kl_uht_pallas_sharded(A, W, H, eps, ctx):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import COL_AXIS
+
+    def local(a, w, h):
+        part = kl_uht_pallas(a, w, h, eps)
+        return jax.lax.psum(part, COL_AXIS)
+
+    return shard_map(
+        local, mesh=ctx.mesh,
+        in_specs=(ctx.spec_A, ctx.spec_W, ctx.spec_H),
+        out_specs=ctx.spec_W, check_vma=False)(A, W, H)
+
+
+def kl_wtu_pallas_sharded(A, W, H, eps, ctx):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import ROW_AXIS
+
+    def local(a, w, h):
+        part = kl_wtu_pallas(a, w, h, eps)
+        return jax.lax.psum(part, ROW_AXIS)
+
+    return shard_map(
+        local, mesh=ctx.mesh,
+        in_specs=(ctx.spec_A, ctx.spec_W, ctx.spec_H),
+        out_specs=ctx.spec_H, check_vma=False)(A, W, H)

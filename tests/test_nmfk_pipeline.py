@@ -82,3 +82,30 @@ def test_checkpoint_resume(tmp_path):
     # second fit: everything checkpointed, selection re-runs from disk
     nopt2 = NMFk(cfg).fit(X)
     assert nopt2 == nopt
+
+
+def test_mid_k_resume_uses_ensemble_cache(tmp_path):
+    """After an interruption past the ensemble stage, the cached ensemble
+    is reused — perturbations are never recomputed (strictly better than
+    the reference, which restarts the whole k)."""
+    from pydnmfk_tpu.utils.data_generator import generate_data
+    from pydnmfk_tpu.utils.checkpoint import FLAG_PERTS_DONE
+    _, _, X = generate_data(m=32, n=20, k=2, seed=7)
+    rp = str(tmp_path) + "/"
+    cfg = NMFkConfig(
+        nmf=NMFConfig(itr=100, norm="fro", method="mu", precision="float64"),
+        start_k=3, end_k=3, perturbations=3,
+        results_path=rp, fname="mid", checkpoint=True)
+    model = NMFk(cfg)
+    model.fit(X)
+
+    # simulate a crash right after the ensemble completed for k=3
+    model2 = NMFk(cfg)
+    model2.checkpoint.save(FLAG_PERTS_DONE, 3, 3)
+    model2.checkpoint.load()
+
+    def boom(A, k):
+        raise AssertionError("ensemble recomputed despite cache")
+    model2._solve_ensemble = boom
+    nopt = model2.fit(X)
+    assert nopt == 3
