@@ -41,14 +41,23 @@ def main():
         def body(i, WH):
             W, H = WH
             return mu_fro_step(A, W, H, eps)
-        return jax.lax.fori_loop(0, ITERS, body, (W, H))
+        W, H = jax.lax.fori_loop(0, ITERS, body, (W, H))
+        # the scalar forces the full chain to execute; float() below forces
+        # the transfer (block_until_ready alone can be satisfied by the
+        # backend's repeated-execution cache)
+        return W, H, jnp.sum(H)
 
     # warmup/compile
-    W1, H1 = jax.block_until_ready(ten_iters(A, W, H))
+    W, H, s = ten_iters(A, W, H)
+    float(s)
 
+    # chain outputs into inputs so every timed run computes fresh values
+    reps = 3
     t0 = time.perf_counter()
-    W2, H2 = jax.block_until_ready(ten_iters(A, W, H))
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        W, H, s = ten_iters(A, W, H)
+    float(s)
+    dt = (time.perf_counter() - t0) / reps
 
     # pro-rate the baseline if running a scaled-down (non-TPU) shape
     scale = (m * n * k) / (M * N * K)
