@@ -236,7 +236,12 @@ class NMFk:
         i = 1
         while i < len(ks):
             if sill_min[i - 1] > cfg.sill_thr:
-                pvalue[i] = wilcoxon(best_err, err_dists[i])[1]
+                try:
+                    pvalue[i] = wilcoxon(best_err, err_dists[i])[1]
+                except ValueError:
+                    # identical distributions (all-zero differences):
+                    # no evidence of change
+                    pvalue[i] = 1.0
                 if pvalue[i] < 0.05:
                     nopt = i
                     best_err = np.copy(err_dists[i])

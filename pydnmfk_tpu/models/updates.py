@@ -81,7 +81,7 @@ def hals_step(A, W, H, eps, W_update=True):
             v = jnp.where(ss > 0, v / ss, v)
             return lax.dynamic_update_slice_in_dim(W, v[:, None], kk, axis=1)
 
-        W = lax.fori_loop(0, k, w_col, W, unroll=True)
+        W = lax.fori_loop(0, k, w_col, W, unroll=4)
 
     WTW = linalg.gram(W)
     WTA = linalg.matmul_WTA(W, A)
@@ -95,7 +95,7 @@ def hals_step(A, W, H, eps, W_update=True):
         v = jnp.maximum(v, eps)
         return lax.dynamic_update_slice_in_dim(H, v[None, :], kk, axis=0)
 
-    H = lax.fori_loop(0, k, h_row, H, unroll=True)
+    H = lax.fori_loop(0, k, h_row, H, unroll=4)
     return W, H
 
 
