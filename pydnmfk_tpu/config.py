@@ -67,6 +67,8 @@ class NMFConfig:
     # TPU-specific knobs (no reference equivalent):
     kl_chunk: int = 0        # rows per chunk for the KL m x n intermediate; 0 = no chunking
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
+    tol: float = 0.0         # early stop when relative error improves < tol
+    tol_check_every: int = 50   # iterations between convergence checks
 
     @property
     def p_r(self) -> int:

@@ -37,7 +37,8 @@ from . import updates
 # jitted solver (cached per static signature)
 # ---------------------------------------------------------------------------
 def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
-           W_update: bool, chunk: int, use_pallas: bool = False):
+           W_update: bool, chunk: int, use_pallas: bool = False,
+           tol: float = 0.0, tol_check_every: int = 50):
     norm = norm.lower()
     method = method.lower()
     if norm == "fro" and method == "mu":
@@ -69,7 +70,35 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
             H = jnp.where(clip, jnp.maximum(H, eps), H)
             return (W, H)
 
-        W, H = lax.fori_loop(0, itr, body, (W, H))
+        if tol <= 0.0:
+            W, H = lax.fori_loop(0, itr, body, (W, H))
+        else:
+            # early stop: run tol_check_every iterations per outer step and
+            # stop once the relative error improves by less than tol (a
+            # production feature the reference lacks — it always runs the
+            # full fixed iteration budget, pyDNMF.py:151)
+            chunk_n = max(1, tol_check_every)
+
+            def cond(state):
+                i, _, _, err_prev, err = state
+                return jnp.logical_and(i < itr, err_prev - err > tol)
+
+            def outer(state):
+                i, W, H, _, err = state
+                n_in = jnp.minimum(chunk_n, itr - i)
+
+                def inner(j, WH):
+                    return lax.cond(j < n_in,
+                                    lambda wh: body(i + j, wh),
+                                    lambda wh: wh, WH)
+                W, H = lax.fori_loop(0, chunk_n, inner, (W, H))
+                new_err = linalg.relative_error(A, W, H)
+                return (i + n_in, W, H, err, new_err)
+
+            errdt = linalg._acc_dtype(A)
+            big = jnp.asarray(jnp.finfo(errdt).max / 4, errdt)
+            state = (jnp.asarray(0, jnp.int32), W, H, big, big / 2)
+            _, W, H, _, _ = lax.while_loop(cond, outer, state)
 
     W, H = linalg.normalize_features(W, H, eps)
     err = linalg.relative_error(A, W, H)
@@ -78,9 +107,10 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
 
 @lru_cache(maxsize=64)
 def _jitted_solver(norm, method, itr, W_update, chunk, batched,
-                   use_pallas=False):
+                   use_pallas=False, tol=0.0, tol_check_every=50):
     fn = partial(_solve, norm=norm, method=method, itr=itr,
-                 W_update=W_update, chunk=chunk, use_pallas=use_pallas)
+                 W_update=W_update, chunk=chunk, use_pallas=use_pallas,
+                 tol=tol, tol_check_every=tol_check_every)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, 0, 0, None))
     return jax.jit(fn)
@@ -104,7 +134,8 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
         use_pallas = False
     fn = _jitted_solver(cfg.norm.lower(), cfg.method.lower(), cfg.itr,
                         cfg.W_update if W_update is None else W_update,
-                        cfg.kl_chunk, batched, bool(use_pallas))
+                        cfg.kl_chunk, batched, bool(use_pallas),
+                        float(cfg.tol), int(cfg.tol_check_every))
     return fn(A, W, H, eps)
 
 

@@ -207,7 +207,11 @@ class NMFk:
         }
         writer = DataWriter(k_path, cfg.nmf.grid)
         writer.save_factors(AvgW, AvgH, reg=True)
-        writer.save_cluster_results(stats)
+        import dataclasses
+        run_cfg = {**dataclasses.asdict(cfg.nmf), "k": k,
+                   "perturbations": cfg.perturbations,
+                   "noise_var": cfg.noise_var, "sampling": cfg.sampling}
+        writer.save_cluster_results(stats, config=run_cfg)
         self.per_k_stats[k] = stats
         self.checkpoint.save(FLAG_SAVED, cfg.perturbations, k)
         return stats

@@ -178,11 +178,17 @@ class DataWriter:
             for b, (s, e) in enumerate(_splits(H.shape[1], p)):
                 np.save(os.path.join(hdir, f"H_{order[b]}.npy"), H[:, s:e])
 
-    def save_cluster_results(self, stats: dict):
+    def save_cluster_results(self, stats: dict, config: dict = None):
         """results.h5 with the reference's dataset names
-        (data_io.py:198-209)."""
+        (data_io.py:198-209); run configuration stamped as attrs for
+        reproducibility (no reference equivalent)."""
         import h5py
         with h5py.File(os.path.join(self.fpath, "results.h5"), "w") as hf:
+            for key, val in (config or {}).items():
+                try:
+                    hf.attrs[key] = val
+                except TypeError:
+                    hf.attrs[key] = str(val)
             hf.create_dataset("clusterSilhouetteCoefficients",
                               data=np.asarray(stats["clusterSilhouetteCoefficients"]))
             hf.create_dataset("avgSilhouetteCoefficients",

@@ -85,3 +85,18 @@ def test_w_frozen_regression():
     # W only changes by the final L1 column normalization
     Wn = W0 / W0.sum(axis=0, keepdims=True)
     np.testing.assert_allclose(np.asarray(W), Wn, rtol=1e-6, atol=1e-8)
+
+
+def test_early_stop_tolerance():
+    """tol > 0 stops once the error plateaus; result quality comparable to
+    the full budget at a fraction of the iterations."""
+    A = make_data()
+    full = NMFConfig(k=2, itr=5000, norm="fro", method="mu",
+                     precision="float64", seed=100)
+    _, _, err_full = NMF(full).fit(A)
+    tol = full.replace(tol=1e-10, tol_check_every=50)
+    _, _, err_tol = NMF(tol).fit(A)
+    assert err_tol < 5e-3          # converged to a good solution
+    # and the mechanism is exact when tol=0 (same jit path as before)
+    _, _, err0 = NMF(full.replace(tol=0.0)).fit(A)
+    assert err0 == err_full
