@@ -25,6 +25,9 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     m, n, k = (M, N, K) if on_tpu else (M // 16, N // 16, K)
+    # opt-in mixed precision (A stored bf16, factors/accumulation f32);
+    # the default headline metric stays all-f32 for apples-to-apples
+    mixed = "--mixed" in sys.argv
 
     from pydnmfk_tpu.models.updates import mu_fro_step
 
@@ -32,6 +35,8 @@ def main():
     kA, kW, kH = jax.random.split(key, 3)
     # generate directly on device: no host->device transfer of 8.8 GB
     A = jax.random.uniform(kA, (m, n), jnp.float32)
+    if mixed:
+        A = A.astype(jnp.bfloat16)
     W = jax.random.uniform(kW, (m, k), jnp.float32)
     H = jax.random.uniform(kH, (k, n), jnp.float32)
     eps = jnp.float32(1.19e-7)
@@ -65,7 +70,8 @@ def main():
     flops = 4.0 * m * n * k * ITERS      # dominant matmul cost of MU
     gflops = flops / dt / 1e9
 
-    metric = f"fro_mu_{ITERS}iter_{m}x{n}_k{k}_f32"
+    metric = f"fro_mu_{ITERS}iter_{m}x{n}_k{k}_" + ("bf16A" if mixed
+                                                    else "f32")
     print(json.dumps({
         "metric": metric,
         "value": round(dt, 4),

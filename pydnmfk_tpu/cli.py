@@ -61,6 +61,10 @@ def build_parser():
     # TPU-specific
     p.add_argument("--multihost", type=str2bool, default=False,
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--a_precision", type=str, default=None,
+                   help="mixed precision: storage dtype for A only "
+                        "(e.g. bfloat16); factors/accumulation stay at "
+                        "--precision")
     return p
 
 
@@ -77,7 +81,8 @@ def main(argv=None):
         timing_stats=args.timing_stats, prune=args.prune,
         precision=args.precision, perturbations=args.perturbations,
         noise_var=args.noise_var, sill_thr=args.sill_thr,
-        sampling=args.sampling, process=args.process)
+        sampling=args.sampling, process=args.process,
+        a_precision=args.a_precision)
     results = runner.run(
         grid=[args.p_r, args.p_c], fpath=args.fpath, ftype=args.ftype,
         fname=args.fname, results_path=args.results_path,

@@ -67,6 +67,11 @@ class NMFConfig:
     # TPU-specific knobs (no reference equivalent):
     kl_chunk: int = 0        # rows per chunk for the KL m x n intermediate; 0 = no chunking
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
+    # Mixed precision: storage dtype for A only (e.g. "bfloat16").  W/H and
+    # all accumulation stay at `precision`; matmuls feed the MXU in A's
+    # dtype (ops/linalg.py::matmul), halving the dominant HBM traffic.
+    # None = store A at `precision` (reference behavior).
+    a_precision: Optional[str] = None
     tol: float = 0.0         # early stop when relative error improves < tol
     tol_check_every: int = 50   # iterations between convergence checks
 
@@ -81,6 +86,14 @@ class NMFConfig:
     @property
     def dtype(self):
         return np.dtype(_PRECISIONS[self.precision]) if self.precision != "bfloat16" else _PRECISIONS["bfloat16"]
+
+    @property
+    def a_dtype(self):
+        """Storage dtype for A (mixed precision); defaults to `dtype`."""
+        if self.a_precision is None:
+            return self.dtype
+        p = _PRECISIONS[self.a_precision]
+        return p if self.a_precision == "bfloat16" else np.dtype(p)
 
     @property
     def eps(self) -> float:

@@ -127,6 +127,7 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     if use_pallas and (
             jax.default_backend() != "tpu"
             or A.dtype == jnp.float64        # kernels accumulate in f32
+            or A.dtype != W.dtype            # mixed precision: XLA path
             or (hasattr(A, "sharding")
                 and getattr(A.sharding, "num_devices", 1) > 1)):
         # no SPMD partitioning rule for pallas_call on sharded globals;
@@ -208,7 +209,7 @@ class NMF:
         """Returns (W, H, recon_err) as the reference PyNMF.fit does
         (pyDNMF.py:137-182)."""
         cfg = self.cfg
-        A = jnp.asarray(A, dtype=cfg.dtype)
+        A = jnp.asarray(A, dtype=cfg.a_dtype)
         with timing.timed("init_factors"):
             if factors is not None:
                 W = jnp.asarray(factors[0], dtype=cfg.dtype)

@@ -126,6 +126,11 @@ class NMFk:
             b_pad = -(-b // p_e) * p_e
             kb = jax.random.fold_in(key, done)
             A_ens = sample_ensemble(A, kb, cfg.noise_var, b_pad, cfg.sampling)
+            # mixed precision: the p perturbed copies of A dominate HBM
+            # footprint/traffic; store them at a_precision (noise is drawn
+            # at full precision first, so sampling statistics are exact)
+            if A_ens.dtype != jnp.dtype(ncfg.a_dtype):
+                A_ens = A_ens.astype(ncfg.a_dtype)
             W0, H0 = self._init_ensemble(A_ens, k)
             if p_e > 1:
                 A_ens = jax.device_put(A_ens,

@@ -59,8 +59,11 @@ def _fused_kernel(a_ref, w_ref, h_ref, hht_ref, eps_ref,
     w_new = w * aht / (denom + eps_ref[0, 0])            # (tm, k)
     w_out_ref[:] = w_new.astype(w_out_ref.dtype)
 
+    # feed the MXU in A's dtype (for bf16-A mixed precision this matches
+    # the XLA path's matmul_WTA, which rounds W' to bf16 once, on-chip)
     wta_part = jax.lax.dot_general(
-        w_new, a, dimension_numbers=(((0,), (0,)), ((), ())),
+        w_new.astype(a_ref.dtype), a,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (k, n)
     wtw_part = jnp.dot(w_new.T, w_new,
                        preferred_element_type=jnp.float32)
@@ -142,7 +145,10 @@ def fused_mu_fro_step(A, W, H, eps):
     if pad:
         A = jnp.pad(A, ((0, pad), (0, 0)))
         W = jnp.pad(W, ((0, pad), (0, 0)))
-    W_new, WTA, WTW = _fused_w_pass(A, W, H, HHT, eps, tm)
+    # mixed precision: the in-kernel A H^T rounds H to A's storage dtype
+    # once (same recipe as linalg.matmul's mixed path)
+    H_k = H.astype(A.dtype) if H.dtype != A.dtype else H
+    W_new, WTA, WTW = _fused_w_pass(A, W, H_k, HHT, eps, tm)
     if pad:
         W_new = W_new[:m]
     H_new = H * WTA.astype(H.dtype) / (

@@ -79,6 +79,6 @@ def _chunked(A, W, H, eps, chunk, want):
             a, w = blk
             u = a / (matmul(w, H) + eps)
             return acc + matmul(w.T, u), None
-        acc0 = jnp.zeros((k, n), dtype=A.dtype)
+        acc0 = jnp.zeros((k, n), dtype=jnp.result_type(A.dtype, W.dtype))
         acc, _ = lax.scan(body, acc0, (Ab, Wb))
         return acc

@@ -21,15 +21,32 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _acc_dtype(x: jax.Array):
-    """Accumulate low-precision inputs in f32; keep f64 when enabled."""
-    if x.dtype in (jnp.float64,):
+def _acc_dtype(x):
+    """Accumulate low-precision inputs in f32; keep f64 when enabled.
+    Accepts an array or a dtype."""
+    dt = getattr(x, "dtype", x)
+    if dt == jnp.float64:
         return jnp.float64
     return jnp.float32
 
 
 def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """MXU matmul with f32 (or f64) accumulation, cast back to input dtype."""
+    """MXU matmul with f32 (or f64) accumulation.
+
+    Same-dtype inputs return that dtype.  Mixed-dtype inputs implement the
+    standard TPU mixed-precision recipe: both operands are fed to the MXU in
+    the *narrower* input dtype (so e.g. a bf16-stored A is read from HBM at
+    half bandwidth and the small factor operand is rounded once, on-chip),
+    accumulation stays f32/f64, and the result is returned in the *wider*
+    dtype so factor updates keep full precision."""
+    if a.dtype != b.dtype:
+        a_bits = jnp.finfo(a.dtype).bits
+        b_bits = jnp.finfo(b.dtype).bits
+        narrow = a.dtype if a_bits <= b_bits else b.dtype
+        wide = b.dtype if a_bits <= b_bits else a.dtype
+        out = jnp.matmul(a.astype(narrow), b.astype(narrow),
+                         preferred_element_type=_acc_dtype(wide))
+        return out.astype(wide)
     out = jnp.matmul(a, b, preferred_element_type=_acc_dtype(a))
     return out.astype(a.dtype)
 

@@ -23,7 +23,7 @@ class Runner:
                  verbose=False, checkpoint=False, timing_stats=False,
                  prune=False, precision="float32", perturbations=20,
                  noise_var=0.015, sill_thr=0.6, sampling="uniform",
-                 process="pyDNMF"):
+                 process="pyDNMF", a_precision=None):
         if process not in ("pyDNMF", "pyDNMFk"):
             raise ValueError("process should be either pyDNMFk or pyDNMF")
         self.init = init
@@ -35,6 +35,7 @@ class Runner:
         self.timing_stats = timing_stats
         self.prune = prune
         self.precision = precision
+        self.a_precision = a_precision  # mixed precision: A-only storage dtype
         self.perturbations = perturbations
         self.noise_var = noise_var
         self.sill_thr = sill_thr
@@ -53,7 +54,7 @@ class Runner:
             k=k, grid=tuple(grid), init=self.init, itr=self.itr,
             norm=self.norm, method=self.method, prune=self.prune,
             precision=self.precision, verbose=self.verbose,
-            results_path=results_path)
+            results_path=results_path, a_precision=self.a_precision)
         ctx = grid_context(*grid)
         reader = DataReader(fpath, fname, ftype, pgrid=grid,
                             precision=self.precision)

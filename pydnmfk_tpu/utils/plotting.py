@@ -96,6 +96,42 @@ def plot_results_fpath(results_path: str, ks, name: str = None):
                  name or os.path.basename(results_path.rstrip("/")))
 
 
+def box_plot(dat, respath: str):
+    """Box plot of the column-error distribution (reference box_plot
+    :147-154): one box per k, saved as box_plot.png in respath."""
+    plt = _plt()
+    plt.figure()
+    plt.boxplot(dat)
+    plt.xlabel("k")
+    plt.ylabel("Column relative error")
+    os.makedirs(respath, exist_ok=True)
+    plt.savefig(os.path.join(respath, "box_plot.png"), bbox_inches="tight")
+    plt.close()
+
+
+def timing_stats(stats_csv: str):
+    """Parse a Timing_stats.csv into the reference's two hierarchical
+    breakdowns (reference timing_stats :157-201): a per-category dict
+    (init / data_io / sampling / dist_compute / clustering / other) and
+    the raw per-function dict."""
+    import pandas as pd
+    from .timing import CATEGORIES
+    row = pd.read_csv(stats_csv).iloc[0]
+    raw = {name: float(v) for name, v in row.items()
+           if name not in ("Unnamed: 0",) and np.isreal(v)}
+    cats = {c: 0.0 for c in CATEGORIES}
+    other = 0.0
+    for name, dt in raw.items():
+        for cat, names in CATEGORIES.items():
+            if name in names:
+                cats[cat] += dt
+                break
+        else:
+            other += dt
+    cats["other"] = other
+    return cats, raw
+
+
 def plot_timing_stats(stats_csv: str, out_dir: str):
     """Bar chart of the category breakdown (reference :204-214)."""
     plt = _plt()

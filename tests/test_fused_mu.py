@@ -30,6 +30,23 @@ def test_fused_matches_standard(m, n, k):
     np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), rtol=1e-5)
 
 
+def test_fused_mixed_precision_matches_standard():
+    """bf16-A mixed precision: fused kernel tracks the standard mixed step."""
+    from pydnmfk_tpu.ops.fused_mu import fused_mu_fro_step
+    from pydnmfk_tpu.models.updates import mu_fro_step
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.random((128, 96)), jnp.bfloat16)
+    W = jnp.asarray(rng.random((128, 8)), jnp.float32)
+    H = jnp.asarray(rng.random((8, 96)), jnp.float32)
+    W1, H1 = fused_mu_fro_step(A, W, H, 1e-7)
+    W2, H2 = mu_fro_step(A, W, H, jnp.float32(1e-7))
+    assert W1.dtype == jnp.float32 and H1.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W2),
+                               rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H2),
+                               rtol=5e-3, atol=1e-4)
+
+
 def test_fused_kl_sharded_wrappers():
     """shard_map wrappers for the KL kernels on a 2x2 mesh."""
     from pydnmfk_tpu.ops.pallas_kernels import (kl_uht_pallas_sharded,

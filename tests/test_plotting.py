@@ -34,6 +34,23 @@ def test_selection_plot_from_results(tmp_path):
     assert os.path.getsize(str(tmp_path / "t_selection_plot.pdf")) > 0
 
 
+def test_box_plot(tmp_path):
+    rng = np.random.default_rng(1)
+    plotting.box_plot([rng.random(20), rng.random(20)], str(tmp_path))
+    assert os.path.getsize(str(tmp_path / "box_plot.png")) > 0
+
+
+def test_timing_stats_parse(tmp_path):
+    import pandas as pd
+    csv = str(tmp_path / "Timing_stats.csv")
+    pd.DataFrame([{"read": 0.5, "solve": 2.0, "mystery": 0.1}]).to_csv(csv)
+    cats, raw = plotting.timing_stats(csv)
+    assert abs(cats["data_io"] - 0.5) < 1e-12
+    assert abs(cats["dist_compute"] - 2.0) < 1e-12
+    assert abs(cats["other"] - 0.1) < 1e-12
+    assert raw["solve"] == 2.0
+
+
 def test_timing_plot(tmp_path):
     import pandas as pd
     csv = str(tmp_path / "Timing_stats.csv")
