@@ -72,6 +72,10 @@ class NMFConfig:
     # dtype (ops/linalg.py::matmul), halving the dominant HBM traffic.
     # None = store A at `precision` (reference behavior).
     a_precision: Optional[str] = None
+    # One-pass fused MU kernel (ops/fused_mu.py): None = auto (on for the
+    # HBM-bound bf16-A regime on a single TPU shard, off otherwise — at f32
+    # the kernel loses to XLA, see docs/PERFORMANCE.md).
+    use_fused: Optional[bool] = None
     tol: float = 0.0         # early stop when relative error improves < tol
     tol_check_every: int = 50   # iterations between convergence checks
 

@@ -38,11 +38,16 @@ from . import updates
 # ---------------------------------------------------------------------------
 def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
            W_update: bool, chunk: int, use_pallas: bool = False,
-           tol: float = 0.0, tol_check_every: int = 50):
+           use_fused: bool = False, tol: float = 0.0,
+           tol_check_every: int = 50):
     norm = norm.lower()
     method = method.lower()
     if norm == "fro" and method == "mu":
-        step = partial(updates.mu_fro_step, W_update=W_update)
+        if use_fused and W_update:
+            from ..ops.fused_mu import fused_mu_fro_step
+            step = fused_mu_fro_step
+        else:
+            step = partial(updates.mu_fro_step, W_update=W_update)
     elif norm == "kl" and method == "mu":
         step = partial(updates.mu_kl_step, W_update=W_update, chunk=chunk,
                        use_pallas=use_pallas)
@@ -107,10 +112,12 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
 
 @lru_cache(maxsize=64)
 def _jitted_solver(norm, method, itr, W_update, chunk, batched,
-                   use_pallas=False, tol=0.0, tol_check_every=50):
+                   use_pallas=False, use_fused=False, tol=0.0,
+                   tol_check_every=50):
     fn = partial(_solve, norm=norm, method=method, itr=itr,
                  W_update=W_update, chunk=chunk, use_pallas=use_pallas,
-                 tol=tol, tol_check_every=tol_check_every)
+                 use_fused=use_fused, tol=tol,
+                 tol_check_every=tol_check_every)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, 0, 0, None))
     return jax.jit(fn)
@@ -133,10 +140,23 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
         # no SPMD partitioning rule for pallas_call on sharded globals;
         # multi-device KL uses the chunked/XLA path
         use_pallas = False
+    # one-pass fused MU: auto-on only in the HBM-bound bf16-A regime on a
+    # single TPU shard (at f32 XLA's matmul strategy wins — PERFORMANCE.md)
+    single_shard = not (hasattr(A, "sharding")
+                        and getattr(A.sharding, "num_devices", 1) > 1)
+    use_fused = cfg.use_fused
+    if use_fused is None:
+        use_fused = (jax.default_backend() == "tpu" and single_shard
+                     and not batched and A.dtype == jnp.bfloat16
+                     and cfg.norm.lower() == "fro"
+                     and cfg.method.lower() == "mu")
+    elif use_fused and not single_shard:
+        use_fused = False
     fn = _jitted_solver(cfg.norm.lower(), cfg.method.lower(), cfg.itr,
                         cfg.W_update if W_update is None else W_update,
                         cfg.kl_chunk, batched, bool(use_pallas),
-                        float(cfg.tol), int(cfg.tol_check_every))
+                        bool(use_fused), float(cfg.tol),
+                        int(cfg.tol_check_every))
     return fn(A, W, H, eps)
 
 

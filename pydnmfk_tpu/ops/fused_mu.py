@@ -120,10 +120,10 @@ def _fused_w_pass(A, W, H, HHT, eps, tm: int):
     return w_new, wta, wtw
 
 
-def _pick_tm(m, n, k, itemsize):
+def _pick_tm(m, n, k, itemsize, budget=64 * 1024 * 1024):
     """Largest row-panel (multiple of 8) whose double-buffered A panels plus
-    the resident H and WTA blocks fit a ~14 MB VMEM budget."""
-    budget = 14 * 1024 * 1024
+    the resident H and WTA blocks fit the VMEM budget (default 64 MB of the
+    v5e's 128 MB — measured best on the headline shape; see PERFORMANCE.md)."""
     resident = (k * n) * (4 + 4)          # H block (<=f32) + WTA accumulator
     per_row = 2 * n * itemsize + 2 * k * 4  # 2x-buffered A row + W/W' rows
     tm = max(8, (budget - resident) // max(per_row, 1))
@@ -131,7 +131,7 @@ def _pick_tm(m, n, k, itemsize):
     return max(tm, 8)
 
 
-def fused_mu_fro_step(A, W, H, eps):
+def fused_mu_fro_step(A, W, H, eps, tm=None):
     """One full MU-Fro iteration with a single pass over A.
 
     Matches updates.mu_fro_step numerically (f32 accumulation); requires a
@@ -140,7 +140,8 @@ def fused_mu_fro_step(A, W, H, eps):
     m, n = A.shape
     k = W.shape[1]
     HHT = linalg.gram_t(H).astype(jnp.float32)
-    tm = _pick_tm(m, n, k, A.dtype.itemsize)
+    if tm is None:
+        tm = _pick_tm(m, n, k, A.dtype.itemsize)
     pad = (-m) % tm
     if pad:
         A = jnp.pad(A, ((0, pad), (0, 0)))
