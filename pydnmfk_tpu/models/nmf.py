@@ -39,7 +39,7 @@ from . import updates
 def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
            W_update: bool, chunk: int, use_pallas: bool = False,
            use_fused: bool = False, tol: float = 0.0,
-           tol_check_every: int = 50):
+           tol_check_every: int = 50, mesh=None, err_chunk: int = 0):
     norm = norm.lower()
     method = method.lower()
     if norm == "fro" and method == "mu":
@@ -50,7 +50,7 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
             step = partial(updates.mu_fro_step, W_update=W_update)
     elif norm == "kl" and method == "mu":
         step = partial(updates.mu_kl_step, W_update=W_update, chunk=chunk,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, mesh=mesh)
     elif norm == "fro" and method == "hals":
         step = partial(updates.hals_step, W_update=W_update)
     elif norm == "fro" and method == "bcd":
@@ -81,43 +81,50 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
             # early stop: run tol_check_every iterations per outer step and
             # stop once the relative error improves by less than tol (a
             # production feature the reference lacks — it always runs the
-            # full fixed iteration budget, pyDNMF.py:151)
+            # full fixed iteration budget, pyDNMF.py:151).  Two-level loop:
+            # whole chunks under lax.while_loop, then one static remainder
+            # tail — the hot inner loop carries no per-iteration branch.
             chunk_n = max(1, tol_check_every)
+            n_full = itr // chunk_n
+            rem = itr - n_full * chunk_n
 
             def cond(state):
-                i, _, _, err_prev, err = state
-                return jnp.logical_and(i < itr, err_prev - err > tol)
+                j, _, _, err_prev, err = state
+                return jnp.logical_and(j < n_full, err_prev - err > tol)
 
             def outer(state):
-                i, W, H, _, err = state
-                n_in = jnp.minimum(chunk_n, itr - i)
-
-                def inner(j, WH):
-                    return lax.cond(j < n_in,
-                                    lambda wh: body(i + j, wh),
-                                    lambda wh: wh, WH)
-                W, H = lax.fori_loop(0, chunk_n, inner, (W, H))
-                new_err = linalg.relative_error(A, W, H)
-                return (i + n_in, W, H, err, new_err)
+                j, W, H, _, err = state
+                W, H = lax.fori_loop(
+                    0, chunk_n, lambda t, wh: body(j * chunk_n + t, wh),
+                    (W, H))
+                new_err = linalg.relative_error(A, W, H, err_chunk)
+                return (j + 1, W, H, err, new_err)
 
             errdt = linalg._acc_dtype(A)
             big = jnp.asarray(jnp.finfo(errdt).max / 4, errdt)
             state = (jnp.asarray(0, jnp.int32), W, H, big, big / 2)
-            _, W, H, _, _ = lax.while_loop(cond, outer, state)
+            _, W, H, err_prev, err = lax.while_loop(cond, outer, state)
+            if rem:
+                # ragged tail runs only if the loop above did not converge
+                W, H = lax.cond(
+                    err_prev - err > tol,
+                    lambda wh: lax.fori_loop(n_full * chunk_n, itr, body, wh),
+                    lambda wh: wh, (W, H))
 
     W, H = linalg.normalize_features(W, H, eps)
-    err = linalg.relative_error(A, W, H)
+    err = linalg.relative_error(A, W, H, err_chunk)
     return W, H, err
 
 
 @lru_cache(maxsize=64)
 def _jitted_solver(norm, method, itr, W_update, chunk, batched,
                    use_pallas=False, use_fused=False, tol=0.0,
-                   tol_check_every=50):
+                   tol_check_every=50, mesh=None, err_chunk=0):
     fn = partial(_solve, norm=norm, method=method, itr=itr,
                  W_update=W_update, chunk=chunk, use_pallas=use_pallas,
                  use_fused=use_fused, tol=tol,
-                 tol_check_every=tol_check_every)
+                 tol_check_every=tol_check_every, mesh=mesh,
+                 err_chunk=err_chunk)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, 0, 0, None))
     return jax.jit(fn)
@@ -128,6 +135,15 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     """Run the full iteration loop.  ``batched=True`` maps over a leading
     ensemble axis of A/W/H (the reference's serial perturbation loop,
     pyDNMFk.py:226-231, becomes one compiled batch)."""
+    sh = getattr(A, "sharding", None)
+    single_shard = getattr(sh, "num_devices", 1) <= 1
+    # multi-device memory-bounded KL: route the chunked/Pallas kernels
+    # through shard_map on the array's own mesh (ops/kl.py::kl_*_sharded)
+    mesh = None
+    if (not single_shard and not batched and cfg.norm.lower() == "kl"
+            and hasattr(sh, "mesh")
+            and (cfg.kl_chunk > 0 or cfg.use_pallas)):
+        mesh = sh.mesh
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = False      # opt-in (cfg.use_pallas=True); TPU-only
@@ -135,15 +151,12 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
             jax.default_backend() != "tpu"
             or A.dtype == jnp.float64        # kernels accumulate in f32
             or A.dtype != W.dtype            # mixed precision: XLA path
-            or (hasattr(A, "sharding")
-                and getattr(A.sharding, "num_devices", 1) > 1)):
-        # no SPMD partitioning rule for pallas_call on sharded globals;
-        # multi-device KL uses the chunked/XLA path
+            or (not single_shard and mesh is None)):
+        # sharded Pallas runs per-block under shard_map (needs `mesh`);
+        # the batched-ensemble path stays on the chunked/XLA path
         use_pallas = False
     # one-pass fused MU: auto-on only in the HBM-bound bf16-A regime on a
     # single TPU shard (at f32 XLA's matmul strategy wins — PERFORMANCE.md)
-    single_shard = not (hasattr(A, "sharding")
-                        and getattr(A.sharding, "num_devices", 1) > 1)
     use_fused = cfg.use_fused
     if use_fused is None:
         use_fused = (jax.default_backend() == "tpu" and single_shard
@@ -152,11 +165,16 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                      and cfg.method.lower() == "mu")
     elif use_fused and not single_shard:
         use_fused = False
+    # memory-bounded error passes: the final relative_error would
+    # otherwise materialize an A-sized W@H product (2x 8.8 GB at flagship
+    # f32 scale — more than one v5e HBM)
+    err_chunk = linalg.error_chunk_rows(A.shape[-2], A.shape[-1],
+                                        sharded=not single_shard)
     fn = _jitted_solver(cfg.norm.lower(), cfg.method.lower(), cfg.itr,
                         cfg.W_update if W_update is None else W_update,
                         cfg.kl_chunk, batched, bool(use_pallas),
                         bool(use_fused), float(cfg.tol),
-                        int(cfg.tol_check_every))
+                        int(cfg.tol_check_every), mesh, err_chunk)
     return fn(A, W, H, eps)
 
 
@@ -268,7 +286,11 @@ class NMF:
         """Per-column relative error of the last fit, in pruned space padded
         back to global n (reference pyDNMF.py:220-239 computes it on the
         pruned matrices as well)."""
-        col = linalg.column_error(self._A, self._W, self._H)
+        sh = getattr(self._A, "sharding", None)
+        err_chunk = linalg.error_chunk_rows(
+            self._A.shape[0], self._A.shape[1],
+            sharded=getattr(sh, "num_devices", 1) > 1)
+        col = linalg.column_error(self._A, self._W, self._H, err_chunk)
         col = np.asarray(jax.device_get(col))[:self._valid_n]
         if self.prune_state is not None:
             full = np.zeros(self.prune_state.n_cols_full, dtype=col.dtype)

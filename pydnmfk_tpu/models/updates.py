@@ -48,13 +48,27 @@ def mu_fro_step(A, W, H, eps, W_update=True):
 # Multiplicative updates, KL divergence  (reference KL_MU_update_{W,H}:
 # 1D dist_nmf.py:803-849, 2D :293-407)
 # ---------------------------------------------------------------------------
-def mu_kl_step(A, W, H, eps, W_update=True, chunk=0, use_pallas=False):
+def mu_kl_step(A, W, H, eps, W_update=True, chunk=0, use_pallas=False,
+               mesh=None):
+    """``mesh`` routes the two bounded-memory products through shard_map
+    (ops/kl.py::kl_*_sharded) so the chunked/Pallas single-shard kernels run
+    per device block — the multi-device equivalent of the reference's 2D KL
+    path (dist_nmf.py:293-343) without a full m x n intermediate."""
+    if mesh is not None:
+        from ..ops.kl import kl_uht_sharded, kl_wtu_sharded
+        uht = lambda a, w, h: kl_uht_sharded(a, w, h, eps, mesh, chunk,
+                                             use_pallas)
+        wtu = lambda a, w, h: kl_wtu_sharded(a, w, h, eps, mesh, chunk,
+                                             use_pallas)
+    else:
+        uht = lambda a, w, h: kl_uht(a, w, h, eps, chunk, use_pallas)
+        wtu = lambda a, w, h: kl_wtu(a, w, h, eps, chunk, use_pallas)
     if W_update:
         h_rowsum = linalg.sum_axis(H, axis=1)       # (k,) psum over 'c'
-        UHT = kl_uht(A, W, H, eps, chunk, use_pallas)   # (m,k)
+        UHT = uht(A, W, H)                          # (m,k)
         W = W * UHT / (h_rowsum[None, :] + eps)
     w_colsum = linalg.sum_axis(W, axis=0)           # (k,) psum over 'r'
-    WTU = kl_wtu(A, W, H, eps, chunk, use_pallas)   # (k,n), uses updated W
+    WTU = wtu(A, W, H)                              # (k,n), uses updated W
     H = H * WTU / (w_colsum[:, None] + eps)
     return W, H
 

@@ -141,7 +141,10 @@ def fused_mu_fro_step(A, W, H, eps, tm=None):
     k = W.shape[1]
     HHT = linalg.gram_t(H).astype(jnp.float32)
     if tm is None:
-        tm = _pick_tm(m, n, k, A.dtype.itemsize)
+        from .pallas_kernels import fit_tile
+        # prefer a divisor of m: the pad below COPIES A (8.8 GB at
+        # flagship scale), which alone can exceed HBM
+        tm = fit_tile(m, _pick_tm(m, n, k, A.dtype.itemsize))
     pad = (-m) % tm
     if pad:
         A = jnp.pad(A, ((0, pad), (0, 0)))

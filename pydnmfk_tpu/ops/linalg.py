@@ -91,19 +91,75 @@ def col_sqnorms(X: jax.Array) -> jax.Array:
     return jnp.sum(Xa * Xa, axis=0)
 
 
-def relative_error(A: jax.Array, W: jax.Array, H: jax.Array) -> jax.Array:
-    """||A - W H||_F / ||A||_F  (reference pyDNMF.py:204-210)."""
-    R = A - matmul(W, H)
-    return fro_norm(R) / fro_norm(A)
+def _chunked_residual_reduce(A, W, H, chunk, axis):
+    """sum of (A - WH)^2 and A^2 (axis=None: scalars; axis=0: per-column),
+    scanning row blocks via dynamic_slice so neither the m x n residual nor
+    ANY copy of A is ever materialized (jnp.pad would copy all of A — at
+    flagship scale that alone exceeds HBM).  Full blocks run in a fori_loop;
+    the ragged tail is one static block."""
+    acc_dt = _acc_dtype(A)
+    m = A.shape[0]
+    n_full = m // chunk
+    m1 = n_full * chunk
+
+    def block_stats(a, w):
+        r = a.astype(acc_dt) - matmul(w, H).astype(acc_dt)
+        aa = a.astype(acc_dt)
+        return jnp.sum(r * r, axis=axis), jnp.sum(aa * aa, axis=axis)
+
+    def body(i, acc):
+        a = lax.dynamic_slice_in_dim(A, i * chunk, chunk, 0)
+        w = lax.dynamic_slice_in_dim(W, i * chunk, chunk, 0)
+        dn, dd = block_stats(a, w)
+        return (acc[0] + dn, acc[1] + dd)
+
+    shape = () if axis is None else (A.shape[1],)
+    zero = jnp.zeros(shape, acc_dt)
+    num, den = lax.fori_loop(0, n_full, body, (zero, zero))
+    if m1 < m:
+        dn, dd = block_stats(A[m1:], W[m1:])
+        num = num + dn
+        den = den + dd
+    return num, den
 
 
-def column_error(A: jax.Array, W: jax.Array, H: jax.Array) -> jax.Array:
+def relative_error(A: jax.Array, W: jax.Array, H: jax.Array,
+                   chunk: int = 0) -> jax.Array:
+    """||A - W H||_F / ||A||_F  (reference pyDNMF.py:204-210).
+
+    ``chunk`` > 0 scans row blocks so the m x n residual (and the W H
+    product) never materializes — required at flagship scale, where
+    A + W H alone (2 x 8.8 GB f32) exceeds one v5e HBM.  Numerics match
+    the direct path up to f32 summation order."""
+    if not chunk or chunk >= A.shape[0]:
+        R = A - matmul(W, H)
+        return fro_norm(R) / fro_norm(A)
+    num, den = _chunked_residual_reduce(A, W, H, chunk, axis=None)
+    return jnp.sqrt(num) / jnp.sqrt(den)
+
+
+def column_error(A: jax.Array, W: jax.Array, H: jax.Array,
+                 chunk: int = 0) -> jax.Array:
     """Per-global-column relative L2 error, length-n vector
-    (reference pyDNMF.py:220-239)."""
-    R = A - matmul(W, H)
-    num = col_sqnorms(R)
-    den = col_sqnorms(A)
+    (reference pyDNMF.py:220-239).  ``chunk`` as in relative_error."""
+    if not chunk or chunk >= A.shape[0]:
+        R = A - matmul(W, H)
+        num = col_sqnorms(R)
+        den = col_sqnorms(A)
+        return jnp.sqrt(num / den)
+    num, den = _chunked_residual_reduce(A, W, H, chunk, axis=0)
     return jnp.sqrt(num / den)
+
+
+def error_chunk_rows(m: int, n: int, sharded: bool = False,
+                     budget_elems: int = 1 << 27) -> int:
+    """Auto row-chunk for the error passes: 0 (direct) while the residual
+    stays under ~budget_elems elements (512 MB at f32) or when the array is
+    mesh-sharded (per-device blocks already bound it); otherwise a row count
+    that keeps each slab inside the budget."""
+    if sharded or m * n <= budget_elems:
+        return 0
+    return max(8, (budget_elems // max(n, 1)) // 8 * 8)
 
 
 def kl_divergence(A: jax.Array, W: jax.Array, H: jax.Array,

@@ -34,6 +34,20 @@ def _pad_to(x, mult, axis):
     return jnp.pad(x, widths), pad
 
 
+def fit_tile(dim: int, target: int, mult: int = 8, floor: int = 64) -> int:
+    """Largest tile <= target that divides dim (multiple of `mult`), so the
+    grid needs no padding — jnp.pad would COPY the operand, which for the
+    A matrix at flagship scale (8.8 GB) blows HBM on its own.  Falls back to
+    `target` (pad path) only when dim is small+ragged or has no usable
+    divisor >= floor (the pad copy is then either tiny or unavoidable)."""
+    if dim <= target:
+        return dim if dim % mult == 0 else target
+    for t in range(target // mult * mult, floor - 1, -mult):
+        if dim % t == 0:
+            return t
+    return target
+
+
 # ---------------------------------------------------------------------------
 # UHT = (A / (W H + eps)) @ H^T        A:(m,n)  W:(m,k)  H:(k,n) -> (m,k)
 # ---------------------------------------------------------------------------
@@ -75,6 +89,8 @@ def kl_uht_pallas(A, W, H, eps, tm: int = 512, tn: int = 512):
     """Fused (A/(WH+eps)) @ H^T without an HBM-resident U."""
     m, n = A.shape
     k = W.shape[1]
+    tm = fit_tile(m, tm)
+    tn = fit_tile(n, tn)
     A, pm = _pad_to(A, tm, 0)
     A, pn = _pad_to(A, tn, 1)
     W, _ = _pad_to(W, tm, 0)
@@ -115,6 +131,8 @@ def kl_wtu_pallas(A, W, H, eps, tm: int = 512, tn: int = 512):
     """Fused W^T @ (A/(WH+eps)) without an HBM-resident U."""
     m, n = A.shape
     k = W.shape[1]
+    tm = fit_tile(m, tm)
+    tn = fit_tile(n, tn)
     A, pm = _pad_to(A, tm, 0)
     A, pn = _pad_to(A, tn, 1)
     W, _ = _pad_to(W, tm, 0)
@@ -150,40 +168,8 @@ def kl_wtu_pallas(A, W, H, eps, tm: int = 512, tn: int = 512):
 def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
-
-# ---------------------------------------------------------------------------
-# mesh-sharded wrappers: per-shard fused kernels + the exact collective the
-# reference hand-codes (UHT_glob/WTU_glob, dist_nmf.py:293-343).
-# U block (i,j) = A_ij / (W_i H_j + eps) needs no gather at all with the
-# canonical shardings (W replicated over 'c' holds the block's rows, H
-# replicated over 'r' holds its cols); the products then reduce:
-#   UHT_i = psum_c( U_ij @ H_j^T )      WTU_j = psum_r( W_i^T @ U_ij )
-# ---------------------------------------------------------------------------
-def kl_uht_pallas_sharded(A, W, H, eps, ctx):
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-    from ..parallel.mesh import COL_AXIS
-
-    def local(a, w, h):
-        part = kl_uht_pallas(a, w, h, eps)
-        return jax.lax.psum(part, COL_AXIS)
-
-    return shard_map(
-        local, mesh=ctx.mesh,
-        in_specs=(ctx.spec_A, ctx.spec_W, ctx.spec_H),
-        out_specs=ctx.spec_W, check_vma=False)(A, W, H)
-
-
-def kl_wtu_pallas_sharded(A, W, H, eps, ctx):
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-    from ..parallel.mesh import ROW_AXIS
-
-    def local(a, w, h):
-        part = kl_wtu_pallas(a, w, h, eps)
-        return jax.lax.psum(part, ROW_AXIS)
-
-    return shard_map(
-        local, mesh=ctx.mesh,
-        in_specs=(ctx.spec_A, ctx.spec_W, ctx.spec_H),
-        out_specs=ctx.spec_H, check_vma=False)(A, W, H)
+# Mesh-sharded dispatch lives in ops/kl.py (kl_uht_sharded/kl_wtu_sharded):
+# shard_map wraps these per-block kernels and psums over the reduced mesh
+# axis, mirroring the reference's UHT_glob/WTU_glob collective structure
+# (dist_nmf.py:293-343).  The solver routes through it via the `mesh`
+# argument of models/updates.py::mu_kl_step.

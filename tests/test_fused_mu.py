@@ -47,10 +47,14 @@ def test_fused_mixed_precision_matches_standard():
                                rtol=5e-3, atol=1e-4)
 
 
-def test_fused_kl_sharded_wrappers():
-    """shard_map wrappers for the KL kernels on a 2x2 mesh."""
-    from pydnmfk_tpu.ops.pallas_kernels import (kl_uht_pallas_sharded,
-                                                kl_wtu_pallas_sharded)
+@pytest.mark.parametrize("chunk,use_pallas", [(0, True), (32, False),
+                                              (32, True)])
+def test_kl_sharded_wrappers(chunk, use_pallas):
+    """Mesh-sharded memory-bounded KL products (chunked scan and per-block
+    Pallas kernels under shard_map) match the dense global computation on a
+    2x2 mesh — the multi-device contract of the reference's UHT_glob/
+    WTU_glob (dist_nmf.py:293-343)."""
+    from pydnmfk_tpu.ops.kl import kl_uht_sharded, kl_wtu_sharded
     from pydnmfk_tpu.parallel.mesh import GridContext, make_grid_mesh
     ctx = GridContext(make_grid_mesh(2, 2))
     rng = np.random.default_rng(0)
@@ -62,11 +66,65 @@ def test_fused_kl_sharded_wrappers():
                        ctx.sharding_H)
     eps = 1e-7
     U = np.asarray(A) / (np.asarray(W) @ np.asarray(H) + eps)
-    uht = kl_uht_pallas_sharded(A, W, H, eps, ctx)
-    wtu = kl_wtu_pallas_sharded(A, W, H, eps, ctx)
+    uht = kl_uht_sharded(A, W, H, eps, ctx.mesh, chunk, use_pallas)
+    wtu = kl_wtu_sharded(A, W, H, eps, ctx.mesh, chunk, use_pallas)
     np.testing.assert_allclose(np.asarray(uht), U @ np.asarray(H).T,
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(wtu), np.asarray(W).T @ U,
                                rtol=1e-4, atol=1e-3)
     assert uht.sharding.spec == ctx.spec_W
     assert wtu.sharding.spec == ctx.spec_H
+
+
+def test_kl_solve_chunked_on_mesh_matches_single_device():
+    """Full KL/MU solve with kl_chunk on a 2x2 mesh == unsharded solve:
+    the sharded bounded-memory path changes memory behavior, not numerics
+    (VERDICT r1 item 4)."""
+    from pydnmfk_tpu.config import NMFConfig
+    from pydnmfk_tpu.models import nmf as nmf_mod
+    from pydnmfk_tpu.parallel.mesh import GridContext, make_grid_mesh
+    rng = np.random.default_rng(3)
+    m, n, k = 64, 48, 4
+    A0 = (rng.random((m, k)) @ rng.random((k, n))).astype(np.float32)
+    W0 = rng.random((m, k)).astype(np.float32)
+    H0 = rng.random((k, n)).astype(np.float32)
+    eps = jnp.float32(1.19e-7)
+
+    cfg1 = NMFConfig(k=k, norm="kl", method="mu", itr=40)
+    Wd, Hd, errd = nmf_mod.solve(jnp.asarray(A0), jnp.asarray(W0),
+                                 jnp.asarray(H0), eps, cfg1)
+
+    ctx = GridContext(make_grid_mesh(2, 2))
+    cfgm = cfg1.replace(grid=(2, 2), kl_chunk=16)
+    Ws, Hs, errs = nmf_mod.solve(ctx.put_A(jnp.asarray(A0)),
+                                 ctx.put_W(jnp.asarray(W0)),
+                                 ctx.put_H(jnp.asarray(H0)), eps, cfgm)
+    np.testing.assert_allclose(np.asarray(Ws), np.asarray(Wd),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hd),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(float(errs), float(errd), rtol=1e-4)
+
+
+@pytest.mark.parametrize("fn_name", ["relative_error", "column_error"])
+def test_chunked_error_matches_direct(fn_name):
+    """Memory-bounded error passes == direct computation (summation-order
+    tolerance only)."""
+    from pydnmfk_tpu.ops import linalg
+    fn = getattr(linalg, fn_name)
+    rng = np.random.default_rng(11)
+    A = jnp.asarray(rng.random((70, 40)), jnp.float32)  # ragged vs chunk
+    W = jnp.asarray(rng.random((70, 5)), jnp.float32)
+    H = jnp.asarray(rng.random((5, 40)), jnp.float32)
+    direct = np.asarray(fn(A, W, H))
+    chunked = np.asarray(fn(A, W, H, 16))
+    np.testing.assert_allclose(chunked, direct, rtol=1e-5)
+
+
+def test_error_chunk_rows_policy():
+    from pydnmfk_tpu.ops import linalg
+    assert linalg.error_chunk_rows(100, 100) == 0          # small: direct
+    assert linalg.error_chunk_rows(57600, 38400) > 0       # flagship: chunk
+    assert linalg.error_chunk_rows(57600, 38400, sharded=True) == 0
+    c = linalg.error_chunk_rows(57600, 38400)
+    assert c * 38400 <= (1 << 27)
