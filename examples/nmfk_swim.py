@@ -31,4 +31,9 @@ def main(data_path="/root/reference/data/", results_path="results/",
 
 
 if __name__ == "__main__":
-    main()
+    nopt = main()
+    # Pin current behavior so a regression is caught: both this framework
+    # and the reference's own executed code select 14 under the example's
+    # exact parameters (the reference example's `assert nopt == 16` is not
+    # reproduced by its own current code — docs/PARITY.md).
+    assert nopt == 14, f"swim k-selection regressed: got {nopt}, expected 14"

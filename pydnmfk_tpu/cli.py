@@ -65,11 +65,21 @@ def build_parser():
                    help="mixed precision: storage dtype for A only "
                         "(e.g. bfloat16); factors/accumulation stay at "
                         "--precision")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (jax_platforms=cpu; env vars "
+                        "are latched too early in some images)")
+    p.add_argument("--seed_grid", type=str, default=None,
+                   help="reference-MPI seeding compat, e.g. '2,2': tile "
+                        "noise/init as the reference's identical-per-rank "
+                        "numpy seeding does on that grid (docs/PARITY.md)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.multihost:
         from .parallel.mesh import initialize_multihost
         initialize_multihost()
@@ -82,7 +92,9 @@ def main(argv=None):
         precision=args.precision, perturbations=args.perturbations,
         noise_var=args.noise_var, sill_thr=args.sill_thr,
         sampling=args.sampling, process=args.process,
-        a_precision=args.a_precision)
+        a_precision=args.a_precision,
+        seed_grid=(tuple(int(x) for x in args.seed_grid.split(","))
+                   if args.seed_grid else None))
     results = runner.run(
         grid=[args.p_r, args.p_c], fpath=args.fpath, ftype=args.ftype,
         fname=args.fname, results_path=args.results_path,

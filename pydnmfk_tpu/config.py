@@ -130,9 +130,22 @@ class NMFkConfig:
     results_path: str = "results/"
     fname: str = "A"
     # TPU-specific: how many ensemble members to run as one batched solve.
-    # 0 = all perturbations in one vmapped batch (the reference runs them
-    # serially, pyDNMFk.py:226-231).
+    # 0 = auto — sized from the device memory budget (utils/memory.py) so
+    # the batched ensemble never exceeds HBM; an explicit value overrides.
+    # (The reference runs members serially, pyDNMFk.py:226-231 — the
+    # equivalent here is ensemble_batch=1.)
     ensemble_batch: int = 0
+    # Per-device memory budget in bytes for auto batch sizing; 0 = detect
+    # (device memory_stats / PYDNMFK_HBM_BUDGET env / backend default).
+    hbm_budget: int = 0
+    # Reference-MPI seeding compatibility: the reference seeds numpy
+    # identically on every rank (pyDNMFk.py:32), so on a p_r x p_c grid the
+    # perturbation noise is (p_r, p_c)-tiled and the rand-init factors are
+    # (p_r*p_c)-fold tiled.  Set to that grid to reproduce the reference's
+    # correlated-ensemble statistics (the executed swim golden nopt=16
+    # depends on them — docs/PARITY.md); None = independent sampling (this
+    # framework's default, statistically stronger).
+    seed_grid: Optional[Tuple[int, int]] = None
 
     @property
     def k_range(self):

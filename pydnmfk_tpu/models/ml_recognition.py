@@ -50,6 +50,42 @@ class MLPModel:
                    out_activation=d.get("out_activation_", "softmax"),
                    classes=None if classes is None else np.asarray(classes))
 
+    @classmethod
+    def from_sklearn(cls, clf) -> "MLPModel":
+        """Convert a trained sklearn MLPClassifier (reference
+        serialize_deserialize_mlp consumes/produces these, utils.py:393-460)."""
+        return cls(list(clf.coefs_), list(clf.intercepts_),
+                   activation=clf.get_params().get("activation", "relu"),
+                   out_activation=clf.out_activation_,
+                   classes=np.asarray(clf.classes_))
+
+    def to_json(self, path: str) -> None:
+        """Write the reference-compatible JSON schema (the serialize side of
+        utils.py:411-437: coefs_/intercepts_/out_activation_/classes_/
+        params.activation + the _label_binarizer block the reference's
+        deserializer requires), so models trained here load in the reference
+        and vice versa."""
+        classes = self.classes.tolist()
+        d = {
+            "meta": "mlp",
+            "coefs_": [np.asarray(c).tolist() for c in self.coefs],
+            "intercepts_": [np.asarray(b).tolist() for b in self.intercepts],
+            "loss_": 0.0,
+            "n_iter_": 0,
+            "n_layers_": len(self.coefs) + 1,
+            "n_outputs_": int(self.coefs[-1].shape[1]),
+            "out_activation_": self.out_activation,
+            "classes_": classes,
+            "_label_binarizer": {
+                "neg_label": 0, "pos_label": 1, "sparse_output": False,
+                "y_type_": "multiclass", "sparse_input_": False,
+                "classes_": classes,
+            },
+            "params": {"activation": self.activation},
+        }
+        with open(path, "w") as f:
+            json.dump(d, f)
+
     def _act(self, x):
         if self.activation == "relu":
             return np.maximum(x, 0.0)

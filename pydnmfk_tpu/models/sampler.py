@@ -9,9 +9,12 @@ Reference: ``sample`` (pyDNMFk/pyDNMFk.py:8-67).  Exact semantics kept:
   * poisson: X_per[i,j] ~ Poisson(X[i,j])   (pyDNMFk.py:47-50)
 
 The reference seeds numpy with ``perturbation * 1000`` per member and runs
-members serially; here all members are generated (and later solved) as one
-batched array using a folded JAX PRNG key, so the whole ensemble is a single
-device computation.
+members serially; here member i draws from ``fold_in(key, i)`` — the same
+"independent stream per member index" contract — and any contiguous batch of
+members is generated as one vmapped computation.  Keys are derived from the
+GLOBAL member index (``offset + arange(b)``), so the ensemble is bitwise
+invariant to how it is split into batches (HBM-sized batching, restart
+replay, and the all-at-once path all see identical noise).
 """
 from __future__ import annotations
 
@@ -21,25 +24,53 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("method", "n_pert"))
-def sample_ensemble(A, key, noise_var, n_pert: int, method: str = "uniform"):
-    """Generate the full (n_pert, m, n) perturbed ensemble in one shot."""
-    keys = jax.random.split(key, n_pert)
+def member_keys(key, offset, n: int):
+    """PRNG keys for members [offset, offset+n) — global-index derived."""
+    idx = jnp.arange(n) + offset
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
 
+
+def sample_member(A, key, noise_var, method: str = "uniform",
+                  tile_grid=None):
+    """One perturbed copy of A from one member key.
+
+    ``tile_grid=(p_r, p_c)`` reproduces the reference's MPI seeding
+    statistics: every rank seeds numpy identically (pyDNMFk.py:32 with
+    seed=pert*1000 on all ranks), so on a p_r x p_c grid all ranks draw THE
+    SAME noise block and the global noise field is p_r x p_c-tiled.  The
+    executed reference's swim golden (nopt=16) depends on these correlated
+    ensembles — see docs/PARITY.md.  Requires A's dims divisible by the
+    grid (as the reference's identical-stream property implicitly does)."""
     if method == "uniform":
-        def one(k):
-            u = jax.random.uniform(k, A.shape, dtype=jnp.float32)
-            m = (2.0 * noise_var * u + noise_var + 1.0).astype(A.dtype)
-            return A * m
-    elif method == "poisson":
-        def one(k):
-            return jax.random.poisson(k, A.astype(jnp.float32)).astype(A.dtype)
-    else:
-        raise ValueError(f"unknown sampling method {method!r}")
+        shape = A.shape
+        if tile_grid is not None and tile_grid != (1, 1):
+            p_r, p_c = tile_grid
+            if A.shape[0] % p_r or A.shape[1] % p_c:
+                raise ValueError(
+                    f"seed-grid compat needs dims {A.shape} divisible by "
+                    f"{tile_grid}")
+            shape = (A.shape[0] // p_r, A.shape[1] // p_c)
+        u = jax.random.uniform(key, shape, dtype=jnp.float32)
+        if shape != A.shape:
+            u = jnp.tile(u, (tile_grid[0], tile_grid[1]))
+        m = (2.0 * noise_var * u + noise_var + 1.0).astype(A.dtype)
+        return A * m
+    if method == "poisson":
+        # Poisson consumes the stream value-dependently per rank in the
+        # reference (blocks differ), so there is no clean tiling to emulate.
+        return jax.random.poisson(key, A.astype(jnp.float32)).astype(A.dtype)
+    raise ValueError(f"unknown sampling method {method!r}")
 
-    return jax.vmap(one)(keys)
+
+@partial(jax.jit, static_argnames=("method", "n_pert"))
+def sample_ensemble(A, key, noise_var, n_pert: int, method: str = "uniform",
+                    offset=0):
+    """Generate perturbed copies for members [offset, offset+n_pert)."""
+    keys = member_keys(key, offset, n_pert)
+    return jax.vmap(
+        lambda k: sample_member(A, k, noise_var, method))(keys)
 
 
 def sample_one(A, key, noise_var, method: str = "uniform"):
     """Single perturbed copy (streaming path for memory-bound ensembles)."""
-    return sample_ensemble(A, key, noise_var, 1, method)[0]
+    return sample_member(A, jax.random.fold_in(key, 0), noise_var, method)

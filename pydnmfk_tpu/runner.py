@@ -23,7 +23,7 @@ class Runner:
                  verbose=False, checkpoint=False, timing_stats=False,
                  prune=False, precision="float32", perturbations=20,
                  noise_var=0.015, sill_thr=0.6, sampling="uniform",
-                 process="pyDNMF", a_precision=None):
+                 process="pyDNMF", a_precision=None, seed_grid=None):
         if process not in ("pyDNMF", "pyDNMFk"):
             raise ValueError("process should be either pyDNMFk or pyDNMF")
         self.init = init
@@ -36,6 +36,7 @@ class Runner:
         self.prune = prune
         self.precision = precision
         self.a_precision = a_precision  # mixed precision: A-only storage dtype
+        self.seed_grid = seed_grid      # reference-MPI seeding compat (config.py)
         self.perturbations = perturbations
         self.noise_var = noise_var
         self.sill_thr = sill_thr
@@ -67,7 +68,9 @@ class Runner:
                 step_k=step_k, perturbations=self.perturbations,
                 noise_var=self.noise_var, sampling=self.sampling,
                 sill_thr=self.sill_thr, checkpoint=self.checkpoint,
-                results_path=results_path, fname=fname)
+                results_path=results_path, fname=fname,
+                seed_grid=(tuple(self.seed_grid)
+                           if self.seed_grid else None))
             results["nopt"] = NMFk(cfg, ctx).fit(A)
         else:
             W, H, err = NMF(nmf_cfg, ctx).fit(A)

@@ -50,6 +50,23 @@ def prune_all(A, W, H):
     return A, W, H, state
 
 
+def prune_A(A):
+    """Prune only A (rows+cols); factors do not exist yet.  Used by the NMFk
+    pipeline to prune ONCE before sampling: multiplicative uniform noise
+    (X*(1+nv+2nv*U)) and Poisson(X) both map zeros to zeros, so the zero
+    masks of every perturbed copy equal A's — pruning up front is exactly
+    equivalent to the reference pruning inside each perturbation fit
+    (pyDNMF.py:99-101)."""
+    row_mask, col_mask = zero_masks(A)
+    m, n = A.shape
+    state = PruneState(row_mask, col_mask, m, n)
+    if row_mask.all() and col_mask.all():
+        return A, state
+    A = jnp.take(jnp.take(A, jnp.asarray(np.nonzero(row_mask)[0]), axis=0),
+                 jnp.asarray(np.nonzero(col_mask)[0]), axis=1)
+    return A, state
+
+
 def unprune_factors(W, H, state: PruneState):
     """Re-insert zero rows into W and zero columns into H
     (reference unprune_factors, utils.py:202-217)."""

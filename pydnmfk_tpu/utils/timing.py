@@ -37,6 +37,7 @@ CATEGORIES = {
     "sampling": ["sample_ensemble", "sample_one"],
     "dist_compute": ["solve", "mu_fro_step", "mu_kl_step", "hals_step",
                      "bcd_solve", "svd", "nnsvd"],
+    "dist_comm": ["dist_comm"],
     "clustering": ["cluster_ensemble", "fit_clustering"],
 }
 
@@ -86,6 +87,63 @@ def _is_arrayish(x) -> bool:
         return True
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# dist_comm accounting.  The reference times every MPI collective through the
+# comm_timing decorator and groups them into a 'dist_comm' category
+# (plot_results.py:157-201).  Under XLA the collectives are compiler-inserted,
+# so the equivalent is read off the compiled HLO: op counts and bytes moved
+# per collective kind, optionally converted to an estimated time via a link
+# bandwidth to populate TIMINGS['dist_comm'].
+# ---------------------------------------------------------------------------
+_COLLECTIVE_KINDS = ("all-reduce", "all-gather", "reduce-scatter",
+                     "collective-permute", "all-to-all")
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+                "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1}
+_COLL_RE = None
+
+
+def collective_stats(fn, *args) -> Dict[str, object]:
+    """Collective op counts + bytes of a (jittable) function's compiled HLO.
+
+    Returns ``{"counts": {kind: n}, "bytes": total_output_bytes}``.  Pass an
+    already-jitted function or a plain callable plus example args.
+    """
+    import re
+    global _COLL_RE
+    if _COLL_RE is None:
+        _COLL_RE = re.compile(
+            r"=\s*\(?([a-z0-9]+)\[([\d,]*)\][^\n]*?\b(" +
+            "|".join(_COLLECTIVE_KINDS) + r")\(")
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    txt = jitted.lower(*args).compile().as_text()
+    counts = {k: 0 for k in _COLLECTIVE_KINDS}
+    total = 0
+    for m in _COLL_RE.finditer(txt):
+        dt, dims, kind = m.groups()
+        counts[kind] += 1
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES.get(dt, 4)
+    return {"counts": {k: v for k, v in counts.items() if v},
+            "bytes": total}
+
+
+def record_dist_comm(fn, *args, link_gbps: float = 45.0,
+                     iterations: int = 1) -> Dict[str, object]:
+    """Estimate collective time of ``fn(*args)`` from HLO bytes / bandwidth
+    (default 45 GB/s ~ one v5e ICI link) and accumulate it under the
+    reference's 'dist_comm' timing category."""
+    stats = collective_stats(fn, *args)
+    est = stats["bytes"] * iterations / (link_gbps * 1e9)
+    if ENABLED:
+        _record("dist_comm", est)
+    stats["est_seconds"] = est
+    return stats
 
 
 def category_breakdown() -> Dict[str, float]:

@@ -94,3 +94,55 @@ def test_too_few_ks_raises(tmp_path):
     model = MLPModel.from_json(reference_path(MODEL_JSON))
     with pytest.raises(ValueError, match="need more than"):
         MLFeatureTools(str(tmp_path), model).predict_statistics()
+
+
+def test_mlp_json_roundtrip(tmp_path):
+    """Serialize side of the reference's serialize_deserialize_mlp
+    (utils.py:393-460): to_json -> from_json preserves predictions and the
+    schema carries the keys the reference's deserializer requires."""
+    import json
+    import numpy as np
+    from pydnmfk_tpu.models.ml_recognition import MLPModel
+
+    rng = np.random.default_rng(7)
+    model = MLPModel(
+        coefs=[rng.normal(size=(5, 8)), rng.normal(size=(8, 3))],
+        intercepts=[rng.normal(size=8), rng.normal(size=3)],
+        activation="relu", out_activation="softmax",
+        classes=np.array([0, 1, 2]))
+    path = str(tmp_path / "mlp.json")
+    model.to_json(path)
+
+    with open(path) as f:
+        d = json.load(f)
+    for key in ("coefs_", "intercepts_", "out_activation_", "classes_",
+                "_label_binarizer", "params", "n_layers_", "n_outputs_"):
+        assert key in d
+    assert d["params"]["activation"] == "relu"
+
+    back = MLPModel.from_json(path)
+    X = rng.normal(size=(4, 5))
+    np.testing.assert_allclose(back.predict_proba(X),
+                               model.predict_proba(X), rtol=1e-12)
+    np.testing.assert_array_equal(back.predict(X), model.predict(X))
+
+
+def test_mlp_from_sklearn_matches():
+    """from_sklearn conversion bit-matches the sklearn forward pass."""
+    import numpy as np
+    sklearn = __import__("sklearn.neural_network", fromlist=["MLPClassifier"])
+    from pydnmfk_tpu.models.ml_recognition import MLPModel
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(60, 5))
+    y = rng.integers(0, 3, size=60)
+    clf = sklearn.MLPClassifier(hidden_layer_sizes=(8,), max_iter=50,
+                                random_state=0)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        clf.fit(X, y)
+    model = MLPModel.from_sklearn(clf)
+    np.testing.assert_allclose(model.predict_proba(X), clf.predict_proba(X),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(model.predict(X), clf.predict(X))

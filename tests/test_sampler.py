@@ -37,3 +37,45 @@ def test_zero_preserved():
     for method in ("uniform", "poisson"):
         out = np.asarray(sample_ensemble(A, jax.random.key(2), 0.05, 2, method))
         assert np.all(out == 0)
+
+
+def test_seed_grid_tiled_noise():
+    """Reference-MPI seeding compat: on a (p_r,p_c) seed grid the noise
+    field is (p_r,p_c)-tiled, as every reference rank draws the same block
+    (pyDNMFk.py:32,42 with identical per-rank seeds)."""
+    import jax
+    import jax.numpy as jnp
+    from pydnmfk_tpu.models.sampler import sample_member
+    A = jnp.ones((8, 6), jnp.float32)
+    key = jax.random.key(7)
+    X = np.asarray(sample_member(A, key, 0.1, "uniform", tile_grid=(2, 2)))
+    np.testing.assert_array_equal(X[:4, :3], X[4:, :3])
+    np.testing.assert_array_equal(X[:4, :3], X[:4, 3:])
+    np.testing.assert_array_equal(X[:4, :3], X[4:, 3:])
+    # independent draw is NOT tiled
+    Y = np.asarray(sample_member(A, key, 0.1, "uniform"))
+    assert not np.array_equal(Y[:4, :3], Y[4:, :3])
+    # noise bounds: [1+nv, 1+3nv)
+    assert X.min() >= 1.1 and X.max() < 1.3
+
+
+def test_seed_grid_tiled_init():
+    """With seed_grid, rand-init W0/H0 are p-fold tiled (reference
+    pyDNMF.py:112-113 under identical per-rank streams)."""
+    import jax.numpy as jnp
+    from pydnmfk_tpu.config import NMFConfig
+    from pydnmfk_tpu.models.nmfk import _ensemble_program
+    from pydnmfk_tpu.parallel.mesh import grid_context
+    import jax
+    ncfg = NMFConfig(k=3, itr=0, norm="fro", method="mu", init="rand")
+    prog = _ensemble_program(ncfg, 2, "uniform", 0.02, grid_context(),
+                             False, False, 0, (2, 2))
+    A = jnp.asarray(np.random.default_rng(0).random((16, 8)), jnp.float32)
+    W, H, errs = prog(A, jax.random.key(0), 0)
+    W = np.asarray(W[0])
+    H = np.asarray(H[0])
+    # itr=0 -> returned W is just the (normalized) init: tiling survives
+    for i in range(1, 4):
+        np.testing.assert_allclose(W[:4], W[4 * i:4 * (i + 1)], rtol=1e-6)
+        np.testing.assert_allclose(H[:, :2], H[:, 2 * i:2 * (i + 1)],
+                                   rtol=1e-6)
