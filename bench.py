@@ -115,19 +115,26 @@ def main():
             rows.append(make_row(f"kl_mu_pallas_{m}x{n}_k{k}_f32", dt,
                                  m, n, k, ITERS, PEAK_F32))
 
-        # ---- MFU rows: compute-bound shapes where the MXU can be fed ----
-        for mk in (128, 256):
+        # ---- MFU rows: compute-bound shapes where the MXU can be fed.
+        # 100 iterations per solve so per-call dispatch latency (the TPU
+        # relay round trip is ~10 ms) cannot masquerade as low MFU ----
+        mfu_iters = 100 if on_tpu else 10
+        for mk, prec in ((256, "float32"), (256, "bfloat16"),
+                         (512, "bfloat16")):
             mm = 8192 if on_tpu else 1024
             kA2, kW2, kH2 = jax.random.split(jax.random.fold_in(key, mk), 3)
             A2 = jax.random.uniform(kA2, (mm, mm),
                                     jnp.float32).astype(jnp.bfloat16)
-            W2 = jax.random.uniform(kW2, (mm, mk), jnp.float32)
-            H2 = jax.random.uniform(kH2, (mk, mm), jnp.float32)
-            cfg = base.replace(k=mk, a_precision="bfloat16",
-                               use_fused=False)
+            wdt = jnp.bfloat16 if prec == "bfloat16" else jnp.float32
+            W2 = jax.random.uniform(kW2, (mm, mk), jnp.float32).astype(wdt)
+            H2 = jax.random.uniform(kH2, (mk, mm), jnp.float32).astype(wdt)
+            cfg = base.replace(k=mk, itr=mfu_iters, precision=prec,
+                               a_precision="bfloat16", use_fused=False)
             dt = time_solve(A2, W2, H2, cfg)
-            rows.append(make_row(f"fro_mu_bf16A_{mm}x{mm}_k{mk}_mfu", dt,
-                                 mm, mm, mk, ITERS, PEAK_BF16))
+            rows.append(make_row(
+                f"fro_mu_bf16A_{prec[0]}{'32' if prec=='float32' else '16'}"
+                f"WH_{mm}x{mm}_k{mk}_mfu",
+                dt, mm, mm, mk, mfu_iters, PEAK_BF16))
 
     headline["rows"] = rows
     print(json.dumps(headline))

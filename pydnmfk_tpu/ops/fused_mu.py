@@ -116,6 +116,11 @@ def _fused_w_pass(A, W, H, HHT, eps, tm: int):
             flops=4 * m * n * k,
             bytes_accessed=m * n * A.dtype.itemsize + (m + 2 * n) * k * 4,
             transcendentals=0),
+        # the revisited (k, n) f32 WTA accumulator + wide A panels exceed
+        # the default ~16 MB scoped-vmem stack budget; raise it (v5e has
+        # 128 MB VMEM, _pick_tm budgets 64 MB of it)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(A, W, H, HHT, jnp.asarray([[eps]], jnp.float32))
     return w_new, wta, wtw
 
