@@ -110,10 +110,20 @@ def main():
         rows.append(make_row(f"kl_mu_chunked_{m}x{n}_k{k}_f32", dt, m,
                              n, k, ITERS, PEAK_F32))
         if on_tpu:
-            cfg = base.replace(norm="kl", use_pallas=True)
+            cfg = base.replace(norm="kl", use_pallas=True, use_fused=False)
             dt = time_solve(A, W0, H0, cfg)
             rows.append(make_row(f"kl_mu_pallas_{m}x{n}_k{k}_f32", dt,
                                  m, n, k, ITERS, PEAK_F32))
+            # one-pass fused KL (A read once per iteration)
+            cfg = base.replace(norm="kl", use_fused=True)
+            dt = time_solve(A, W0, H0, cfg)
+            rows.append(make_row(f"kl_mu_fused_{m}x{n}_k{k}_f32", dt,
+                                 m, n, k, ITERS, PEAK_F32))
+            cfg = base.replace(norm="kl", use_fused=True,
+                               a_precision="bfloat16")
+            dt = time_solve(Ab, W0, H0, cfg)
+            rows.append(make_row(f"kl_mu_fused_bf16A_{m}x{n}_k{k}", dt,
+                                 m, n, k, ITERS, PEAK_BF16))
 
         # ---- MFU rows: compute-bound shapes where the MXU can be fed.
         # 100 iterations per solve so per-call dispatch latency (the TPU

@@ -49,8 +49,13 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
         else:
             step = partial(updates.mu_fro_step, W_update=W_update)
     elif norm == "kl" and method == "mu":
-        step = partial(updates.mu_kl_step, W_update=W_update, chunk=chunk,
-                       use_pallas=use_pallas, mesh=mesh)
+        if use_fused and W_update:
+            # one-pass fused KL iteration: A read once (ops/fused_kl.py)
+            from ..ops.fused_kl import fused_mu_kl_step
+            step = fused_mu_kl_step
+        else:
+            step = partial(updates.mu_kl_step, W_update=W_update,
+                           chunk=chunk, use_pallas=use_pallas, mesh=mesh)
     elif norm == "fro" and method == "hals":
         step = partial(updates.hals_step, W_update=W_update)
     elif norm == "fro" and method == "bcd":
@@ -155,16 +160,29 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
         # sharded Pallas runs per-block under shard_map (needs `mesh`);
         # the batched-ensemble path stays on the chunked/XLA path
         use_pallas = False
-    # one-pass fused MU: auto-on only in the HBM-bound bf16-A regime on a
-    # single TPU shard (at f32 XLA's matmul strategy wins — PERFORMANCE.md)
+    # one-pass fused iterations: auto-on only for the measured win — FRO
+    # with bf16-A storage on a single TPU shard (1.7x over two-pass).  The
+    # fused KL kernel (ops/fused_kl.py) matches but does not beat the
+    # chunked path at k=32 (the KL step is MXU-bound there, not
+    # A-bandwidth-bound — PERFORMANCE.md) and stays opt-in.
     use_fused = cfg.use_fused
     if use_fused is None:
         use_fused = (jax.default_backend() == "tpu" and single_shard
-                     and not batched and A.dtype == jnp.bfloat16
+                     and not batched and cfg.method.lower() == "mu"
                      and cfg.norm.lower() == "fro"
-                     and cfg.method.lower() == "mu")
+                     and A.dtype == jnp.bfloat16)
     elif use_fused and not single_shard:
         use_fused = False
+    # KL memory safety: the direct path materializes the m x n ratio U —
+    # at flagship f32 scale U + A alone exceed HBM.  Auto-chunk when the
+    # block is large and nothing else bounds it (fused reads A once and
+    # keeps U in VMEM; on a mesh per-device blocks already shrink).
+    chunk = cfg.kl_chunk
+    if (cfg.norm.lower() == "kl" and not chunk
+            and not (use_fused and (cfg.W_update if W_update is None
+                                    else W_update))):
+        chunk = linalg.error_chunk_rows(A.shape[-2], A.shape[-1],
+                                        sharded=not single_shard)
     # memory-bounded error passes: the final relative_error would
     # otherwise materialize an A-sized W@H product (2x 8.8 GB at flagship
     # f32 scale — more than one v5e HBM)
@@ -172,7 +190,7 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                                         sharded=not single_shard)
     fn = _jitted_solver(cfg.norm.lower(), cfg.method.lower(), cfg.itr,
                         cfg.W_update if W_update is None else W_update,
-                        cfg.kl_chunk, batched, bool(use_pallas),
+                        chunk, batched, bool(use_pallas),
                         bool(use_fused), float(cfg.tol),
                         int(cfg.tol_check_every), mesh, err_chunk)
     return fn(A, W, H, eps)

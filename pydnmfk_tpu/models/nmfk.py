@@ -204,7 +204,7 @@ class NMFk:
         return nopt
 
     # ------------------------------------------------------------------
-    def _ensemble_batch_size(self, A, k) -> int:
+    def _ensemble_batch_size(self, A, k, ncfg) -> int:
         """Members per batched solve: explicit config, or HBM-auto-sized
         (utils/memory.py) rounded to a multiple of p_e so the ensemble-axis
         sharding never silently degrades to replication."""
@@ -215,7 +215,7 @@ class NMFk:
             batch = cfg.ensemble_batch
         else:
             batch = auto_ensemble_batch(
-                m, n, k, cfg.perturbations, cfg.nmf.replace(k=k),
+                m, n, k, cfg.perturbations, ncfg,
                 self.ctx.shape, p_e,
                 budget=cfg.hbm_budget or None)
         batch = max(1, min(batch, cfg.perturbations))
@@ -235,7 +235,18 @@ class NMFk:
         ncfg = cfg.nmf.replace(k=k)
         n_pert = cfg.perturbations
         p_e = self.ctx.p_e
-        batch = self._ensemble_batch_size(A, k)
+        sh0 = getattr(A, "sharding", None)
+        if ncfg.norm.lower() == "kl" and not ncfg.kl_chunk:
+            # KL memory safety for the batched path too: bound the per-
+            # member m x n ratio slab (models/nmf.solve applies the same
+            # policy on the non-batched path); done before batch sizing so
+            # the cost model sees the bounded slab, not a full-m U
+            kc = linalg.error_chunk_rows(
+                A.shape[0], A.shape[1],
+                sharded=getattr(sh0, "num_devices", 1) > 1)
+            if kc:
+                ncfg = ncfg.replace(kl_chunk=kc)
+        batch = self._ensemble_batch_size(A, k, ncfg)
         key = jax.random.key(ncfg.seed)
         self.last_batch_size = batch
 
@@ -277,7 +288,9 @@ class NMFk:
             done += b
             self.checkpoint.save(FLAG_RUNNING, done, k, ncfg.seed)
         cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0))
-        return cat(W_parts), cat(H_parts), np.asarray(cat(err_parts))
+        # replayed parts may overshoot if `perturbations` shrank between runs
+        return (cat(W_parts)[:n_pert], cat(H_parts)[:n_pert],
+                np.asarray(cat(err_parts))[:n_pert])
 
     # ------------------------------------------------------------------
     def pynmfk_per_k(self, A, k):

@@ -128,3 +128,44 @@ def test_error_chunk_rows_policy():
     assert linalg.error_chunk_rows(57600, 38400, sharded=True) == 0
     c = linalg.error_chunk_rows(57600, 38400)
     assert c * 38400 <= (1 << 27)
+
+
+@pytest.mark.parametrize("m,n,k,mixed", [(300, 200, 8, False),
+                                         (64, 48, 3, False),
+                                         (128, 96, 8, True)])
+def test_fused_kl_matches_standard(m, n, k, mixed):
+    """One-pass fused KL iteration == standard mu_kl_step (interpret mode;
+    f32-accumulation-order tolerance)."""
+    from pydnmfk_tpu.ops.fused_kl import fused_mu_kl_step
+    from pydnmfk_tpu.models.updates import mu_kl_step
+    rng = np.random.default_rng(4)
+    A = jnp.asarray(rng.random((m, n)),
+                    jnp.bfloat16 if mixed else jnp.float32)
+    W = jnp.asarray(rng.random((m, k)), jnp.float32)
+    H = jnp.asarray(rng.random((k, n)), jnp.float32)
+    eps = jnp.float32(1.19e-7)
+    W1, H1 = fused_mu_kl_step(A, W, H, eps)
+    W2, H2 = mu_kl_step(A, W, H, eps)
+    tol = dict(rtol=5e-3, atol=1e-4) if mixed else dict(rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), **tol)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), **tol)
+
+
+def test_fused_kl_solve_dispatch():
+    """cfg.use_fused=True routes the KL solve through the fused step and
+    converges identically to the standard path."""
+    from pydnmfk_tpu.config import NMFConfig
+    from pydnmfk_tpu.models import nmf as nmf_mod
+    rng = np.random.default_rng(5)
+    m, n, k = 72, 40, 3
+    A = jnp.asarray(rng.random((m, k)) @ rng.random((k, n)), jnp.float32)
+    W = jnp.asarray(rng.random((m, k)), jnp.float32)
+    H = jnp.asarray(rng.random((k, n)), jnp.float32)
+    eps = jnp.float32(1.19e-7)
+    cfg_std = NMFConfig(k=k, norm="kl", method="mu", itr=30, use_fused=False)
+    cfg_fused = cfg_std.replace(use_fused=True)
+    W1, H1, e1 = nmf_mod.solve(A, W, H, eps, cfg_std)
+    W2, H2, e2 = nmf_mod.solve(A, W, H, eps, cfg_fused)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), rtol=5e-3,
+                               atol=1e-5)
