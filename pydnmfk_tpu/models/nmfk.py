@@ -56,14 +56,15 @@ from .svd import DistSVD
 def _ensemble_program(ncfg: NMFConfig, b_pad: int, sampling: str,
                       noise_var: float, ctx: GridContext,
                       shard_batch: bool, use_pallas: bool,
-                      err_chunk: int = 0, seed_grid=None):
+                      err_chunk: int = 0, seed_grid=None,
+                      use_fused: bool = False):
     eps = ncfg.eps
     a_dtype = ncfg.a_dtype
     sg = None if seed_grid in (None, (1, 1)) else tuple(seed_grid)
 
     solver = nmf_mod._jitted_solver(
         ncfg.norm.lower(), ncfg.method.lower(), ncfg.itr, True,
-        ncfg.kl_chunk, True, use_pallas, False, float(ncfg.tol),
+        ncfg.kl_chunk, True, use_pallas, use_fused, float(ncfg.tol),
         int(ncfg.tol_check_every), None, err_chunk)
 
     def program(A, key, offset):
@@ -250,14 +251,22 @@ class NMFk:
         key = jax.random.key(ncfg.seed)
         self.last_batch_size = batch
 
-        # batched-path pallas gating (mirrors nmf.solve: TPU, uniform
-        # dtype, single shard)
+        # batched-path pallas/fused gating (mirrors nmf.solve: TPU, single
+        # shard; vmapped Pallas is supported — measured 1.5x for the fused
+        # FRO bf16-A path, tools/batched_fused_probe.py)
         sh = getattr(A, "sharding", None)
         single_shard = getattr(sh, "num_devices", 1) <= 1
         use_pallas = bool(cfg.nmf.use_pallas) and (
             jax.default_backend() == "tpu" and single_shard
             and jnp.dtype(ncfg.a_dtype) == jnp.dtype(ncfg.dtype)
             and ncfg.dtype != jnp.float64)
+        use_fused = ncfg.use_fused
+        if use_fused is None:
+            use_fused = (jax.default_backend() == "tpu" and single_shard
+                         and ncfg.method.lower() == "mu"
+                         and ncfg.norm.lower() == "fro"
+                         and jnp.dtype(ncfg.a_dtype) == jnp.bfloat16)
+        use_fused = bool(use_fused) and single_shard
 
         parts_dir = os.path.join(self.results_path, str(k), "ensemble_parts")
         done, W_parts, H_parts, err_parts = 0, [], [], []
@@ -276,7 +285,7 @@ class NMFk:
             program = _ensemble_program(ncfg, b_pad, cfg.sampling,
                                         float(cfg.noise_var), self.ctx,
                                         p_e > 1, use_pallas, err_chunk,
-                                        cfg.seed_grid)
+                                        cfg.seed_grid, use_fused)
             W, H, errs = program(A, key, done)
             W_parts.append(W[:b])
             H_parts.append(H[:b])
