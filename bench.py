@@ -47,8 +47,10 @@ def time_solve(A, W, H, cfg, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
-def make_row(name, dt, m, n, k, iters, peak, extra=None):
-    flops = 4.0 * m * n * k * iters      # dominant matmul cost of MU
+def make_row(name, dt, m, n, k, iters, peak, extra=None, flop_factor=4.0):
+    # FRO-MU: two A-sized matmuls/iter = 4mnk; KL-MU: two WH products +
+    # UHT + WTU = ~8mnk (matches ops/fused_kl.py's cost estimate)
+    flops = flop_factor * m * n * k * iters
     row = {"metric": name, "value": round(dt, 4), "unit": "s",
            "gflops": round(flops / dt / 1e9, 1),
            "mfu_pct": round(100.0 * flops / dt / peak, 1)}
@@ -108,22 +110,22 @@ def main():
         cfg = base.replace(norm="kl", kl_chunk=4096)
         dt = time_solve(A, W0, H0, cfg)
         rows.append(make_row(f"kl_mu_chunked_{m}x{n}_k{k}_f32", dt, m,
-                             n, k, ITERS, PEAK_F32))
+                             n, k, ITERS, PEAK_F32, flop_factor=8.0))
         if on_tpu:
             cfg = base.replace(norm="kl", use_pallas=True, use_fused=False)
             dt = time_solve(A, W0, H0, cfg)
             rows.append(make_row(f"kl_mu_pallas_{m}x{n}_k{k}_f32", dt,
-                                 m, n, k, ITERS, PEAK_F32))
+                                 m, n, k, ITERS, PEAK_F32, flop_factor=8.0))
             # one-pass fused KL (A read once per iteration)
             cfg = base.replace(norm="kl", use_fused=True)
             dt = time_solve(A, W0, H0, cfg)
             rows.append(make_row(f"kl_mu_fused_{m}x{n}_k{k}_f32", dt,
-                                 m, n, k, ITERS, PEAK_F32))
+                                 m, n, k, ITERS, PEAK_F32, flop_factor=8.0))
             cfg = base.replace(norm="kl", use_fused=True,
                                a_precision="bfloat16")
             dt = time_solve(Ab, W0, H0, cfg)
             rows.append(make_row(f"kl_mu_fused_bf16A_{m}x{n}_k{k}", dt,
-                                 m, n, k, ITERS, PEAK_BF16))
+                                 m, n, k, ITERS, PEAK_BF16, flop_factor=8.0))
 
         # ---- MFU rows: compute-bound shapes where the MXU can be fed.
         # 100 iterations per solve so per-call dispatch latency (the TPU

@@ -78,7 +78,8 @@ class MLPModel:
             "classes_": classes,
             "_label_binarizer": {
                 "neg_label": 0, "pos_label": 1, "sparse_output": False,
-                "y_type_": "multiclass", "sparse_input_": False,
+                "y_type_": "binary" if len(classes) <= 2 else "multiclass",
+                "sparse_input_": False,
                 "classes_": classes,
             },
             "params": {"activation": self.activation},

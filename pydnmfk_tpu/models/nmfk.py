@@ -40,7 +40,6 @@ from . import nmf as nmf_mod
 from . import sampler
 from .clustering import cluster_ensemble
 from .nmf import NMF
-from .svd import DistSVD
 
 
 # ---------------------------------------------------------------------------
@@ -70,7 +69,7 @@ def _ensemble_program(ncfg: NMFConfig, b_pad: int, sampling: str,
     def program(A, key, offset):
         keys = sampler.member_keys(key, offset, b_pad)
         A_ens = jax.vmap(lambda kk: sampler.sample_member(
-            A, jax.random.fold_in(kk, 0), noise_var, sampling,
+            A, sampler.member_noise_key(kk), noise_var, sampling,
             tile_grid=sg))(keys)
         if A_ens.dtype != jnp.dtype(a_dtype):
             # mixed precision: noise is drawn at f32 (exact statistics),
@@ -89,16 +88,16 @@ def _ensemble_program(ncfg: NMFConfig, b_pad: int, sampling: str,
                         f"seed-grid compat needs ({m},{n}) divisible by "
                         f"p_r*p_c={p}")
                 W0 = jax.vmap(lambda kk: jnp.tile(jax.random.uniform(
-                    jax.random.fold_in(kk, 1), (m // p, k), jnp.float32),
+                    jax.random.fold_in(kk, sampler.W0_STREAM), (m // p, k), jnp.float32),
                     (p, 1)))(keys)
                 H0 = jax.vmap(lambda kk: jnp.tile(jax.random.uniform(
-                    jax.random.fold_in(kk, 2), (k, n // p), jnp.float32),
+                    jax.random.fold_in(kk, sampler.H0_STREAM), (k, n // p), jnp.float32),
                     (1, p)))(keys)
             else:
                 W0 = jax.vmap(lambda kk: jax.random.uniform(
-                    jax.random.fold_in(kk, 1), (m, k), jnp.float32))(keys)
+                    jax.random.fold_in(kk, sampler.W0_STREAM), (m, k), jnp.float32))(keys)
                 H0 = jax.vmap(lambda kk: jax.random.uniform(
-                    jax.random.fold_in(kk, 2), (k, n), jnp.float32))(keys)
+                    jax.random.fold_in(kk, sampler.H0_STREAM), (k, n), jnp.float32))(keys)
             W0 = W0.astype(ncfg.dtype)
             H0 = H0.astype(ncfg.dtype)
         elif ncfg.init == "nnsvd":
@@ -120,17 +119,28 @@ def _ensemble_program(ncfg: NMFConfig, b_pad: int, sampling: str,
     return jax.jit(program)
 
 
-def _save_ensemble_part(parts_dir, offset, W, H, errs, seed):
+def _ensemble_cfg_tag(ncfg: NMFConfig, cfg: NMFkConfig) -> str:
+    """Stamp identifying everything that shapes a member's result: replayed
+    parts from an interrupted run are valid only if the solver AND noise
+    configuration are unchanged (not just (k, seed))."""
+    return repr((ncfg.k, ncfg.itr, ncfg.norm.lower(), ncfg.method.lower(),
+                 ncfg.init, ncfg.precision, ncfg.a_precision, ncfg.seed,
+                 float(ncfg.tol), cfg.noise_var, cfg.sampling,
+                 cfg.seed_grid))
+
+
+def _save_ensemble_part(parts_dir, offset, W, H, errs, seed, cfg_tag):
     os.makedirs(parts_dir, exist_ok=True)
     path = os.path.join(parts_dir, f"part_{offset:06d}.npz")
     tmp = path + ".tmp.npz"
-    np.savez(tmp, W=W, H=H, errs=errs, offset=offset, seed=seed)
+    np.savez(tmp, W=W, H=H, errs=errs, offset=offset, seed=seed,
+             cfg_tag=cfg_tag)
     os.replace(tmp, path)
 
 
-def _load_ensemble_parts(parts_dir, n_pert, seed):
+def _load_ensemble_parts(parts_dir, n_pert, seed, cfg_tag):
     """Contiguous-from-zero replay of completed batches (any batch sizes —
-    members are global-index keyed)."""
+    members are global-index keyed; stale-config parts are skipped)."""
     if not os.path.isdir(parts_dir):
         return 0, [], [], []
     parts = {}
@@ -141,6 +151,8 @@ def _load_ensemble_parts(parts_dir, n_pert, seed):
             with np.load(os.path.join(parts_dir, fname)) as d:
                 if int(d["seed"]) != seed:
                     continue
+                if str(d.get("cfg_tag", "")) != cfg_tag:
+                    continue    # written under a different configuration
                 parts[int(d["offset"])] = (d["W"], d["H"], d["errs"])
         except Exception:
             continue            # torn write: ignore, recompute
@@ -275,7 +287,8 @@ class NMFk:
             if (st is not None and st.k == k and st.seed == ncfg.seed
                     and st.flag == FLAG_RUNNING):
                 done, W_parts, H_parts, err_parts = _load_ensemble_parts(
-                    parts_dir, n_pert, ncfg.seed)
+                    parts_dir, n_pert, ncfg.seed,
+                    _ensemble_cfg_tag(ncfg, cfg))
 
         err_chunk = linalg.error_chunk_rows(A.shape[0], A.shape[1],
                                             sharded=not single_shard)
@@ -293,7 +306,7 @@ class NMFk:
             if cfg.checkpoint:
                 _save_ensemble_part(parts_dir, done, np.asarray(W[:b]),
                                     np.asarray(H[:b]), np.asarray(errs[:b]),
-                                    ncfg.seed)
+                                    ncfg.seed, _ensemble_cfg_tag(ncfg, cfg))
             done += b
             self.checkpoint.save(FLAG_RUNNING, done, k, ncfg.seed)
         cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0))

@@ -24,10 +24,22 @@ import jax
 import jax.numpy as jnp
 
 
+# per-member sub-streams derived from the member's base key
+# (fold_in(key, global_member_index)); the NMFk pipeline uses the same
+# constants for factor init (models/nmfk.py::_ensemble_program)
+NOISE_STREAM, W0_STREAM, H0_STREAM = 0, 1, 2
+
+
 def member_keys(key, offset, n: int):
-    """PRNG keys for members [offset, offset+n) — global-index derived."""
+    """Base PRNG keys for members [offset, offset+n) — global-index derived."""
     idx = jnp.arange(n) + offset
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+
+
+def member_noise_key(base_key):
+    """Noise sub-stream of one member's base key — the exact key the NMFk
+    pipeline perturbs with, so sample_ensemble reproduces its copies."""
+    return jax.random.fold_in(base_key, NOISE_STREAM)
 
 
 def sample_member(A, key, noise_var, method: str = "uniform",
@@ -68,9 +80,11 @@ def sample_ensemble(A, key, noise_var, n_pert: int, method: str = "uniform",
     """Generate perturbed copies for members [offset, offset+n_pert)."""
     keys = member_keys(key, offset, n_pert)
     return jax.vmap(
-        lambda k: sample_member(A, k, noise_var, method))(keys)
+        lambda k: sample_member(A, member_noise_key(k), noise_var,
+                                method))(keys)
 
 
 def sample_one(A, key, noise_var, method: str = "uniform"):
-    """Single perturbed copy (streaming path for memory-bound ensembles)."""
-    return sample_member(A, jax.random.fold_in(key, 0), noise_var, method)
+    """Single perturbed copy == ensemble member 0 of `key`."""
+    return sample_member(A, member_noise_key(jax.random.fold_in(key, 0)),
+                         noise_var, method)

@@ -76,9 +76,11 @@ def auto_ensemble_batch(m: int, n: int, k: int, n_pert: int, ncfg,
     if budget is None:
         budget = device_memory_budget()
     p_r, p_c = grid_shape
-    a_bytes = np.dtype(ncfg.a_dtype).itemsize if ncfg.a_precision != "bfloat16" \
-        else 2
-    fixed = m * n * a_bytes / (p_r * p_c)          # the shared unperturbed A
+    # the shared unperturbed A is held at the WORK precision (NMFk.fit
+    # casts to cfg.nmf.dtype before the pipeline); only the perturbed
+    # member copies are stored at a_precision
+    w_b = 2 if ncfg.precision == "bfloat16" else np.dtype(ncfg.dtype).itemsize
+    fixed = m * n * w_b / (p_r * p_c)
     per_member = ensemble_member_bytes(m, n, k, ncfg, grid_shape, p_e)
     avail = budget * HEADROOM - fixed
     per_dev = max(1, int(avail // per_member)) if avail > 0 else 1

@@ -114,9 +114,11 @@ def collective_stats(fn, *args) -> Dict[str, object]:
     import re
     global _COLL_RE
     if _COLL_RE is None:
+        # matches sync and async ('-start') forms; tuple-shaped outputs
+        # count the first operand's bytes (a lower bound)
         _COLL_RE = re.compile(
             r"=\s*\(?([a-z0-9]+)\[([\d,]*)\][^\n]*?\b(" +
-            "|".join(_COLLECTIVE_KINDS) + r")\(")
+            "|".join(_COLLECTIVE_KINDS) + r")(?:-start)?\(")
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
     txt = jitted.lower(*args).compile().as_text()
     counts = {k: 0 for k in _COLLECTIVE_KINDS}

@@ -198,3 +198,31 @@ def test_prune_through_nmfk_pipeline(tmp_path):
     assert W.shape == (40, 3) and H.shape == (3, 30)
     assert np.all(W[[4, 17], :] == 0)
     assert np.all(H[:, [2, 25]] == 0)
+
+
+def test_resume_ignores_stale_config_parts(tmp_path):
+    """Parts written under a different noise/solver config are not replayed
+    (the resume validates a full config stamp, not just (k, seed))."""
+    import jax
+    k = 3
+    A = _lowrank(40, 24, 3, seed=2)
+    cfg1 = _base_cfg(tmp_path, start_k=k, end_k=k, perturbations=4,
+                     ensemble_batch=2, checkpoint=True, noise_var=0.02)
+    m1 = NMFk(cfg1)
+    # write parts for batch 0 only by running a partial solve by hand
+    from pydnmfk_tpu.models import nmfk as nm
+    ncfg1 = cfg1.nmf.replace(k=k)
+    nm._save_ensemble_part(
+        str(tmp_path / "A" / str(k) / "ensemble_parts"), 0,
+        np.zeros((2, 40, 3), np.float32), np.zeros((2, 3, 24), np.float32),
+        np.zeros(2, np.float32), ncfg1.seed,
+        nm._ensemble_cfg_tag(ncfg1, cfg1))
+    m1.checkpoint.save(0, 2, k, ncfg1.seed)   # FLAG_RUNNING, done=2
+
+    # same seed, different noise_var -> stale parts must be recomputed
+    cfg2 = cfg1.replace(noise_var=0.05)
+    m2 = NMFk(cfg2)
+    W, H, errs = m2._solve_ensemble(jnp.asarray(A), k)
+    assert W.shape[0] == 4
+    # the zero-filled stale part must NOT appear in the results
+    assert float(jnp.sum(jnp.abs(W[:2]))) > 0

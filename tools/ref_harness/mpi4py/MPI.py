@@ -85,14 +85,12 @@ def _copy(obj):
 class _Ctx:
     """Shared state for one communicator group (global rank list).
 
-    Slot exchange is double-buffered so each collective costs ONE barrier
-    crossing (the hot path: the reference emits ~30 collective/barrier ops
-    per MU iteration). Safety: a rank can only overwrite phase-p slots after
-    passing the barrier of the next phase-(1-p) collective; barrier passage
-    implies every rank deposited in that collective, which (program order)
-    implies every rank finished reading the previous phase-p slots.
-    Phases are tracked per-rank in TLS and agree across ranks because every
-    collective is SPMD-ordered (all group members call in the same order).
+    Slot exchange is double-buffered (phases tracked per-rank in TLS; they
+    agree across ranks because every collective is SPMD-ordered).  Each
+    collective ends with a completion barrier (Comm methods call sync()
+    after reading peer slots) so a sender can never return and mutate its
+    live send buffer while a receiver still copies it — matching real MPI
+    completion semantics.
     """
 
     def __init__(self, world_ranks):
@@ -175,18 +173,22 @@ class Comm:
             acc = fold(acc, x)
         if self._ctx.n == 1:
             acc = _copy(acc)  # avoid aliasing the sender's object
+        self._ctx.sync()  # MPI completion semantics: no rank returns (and
+        # may mutate its live send buffer) until all have read the slots
         return acc
 
     def allgather(self, obj):
         me = self.Get_rank()
         view = self._ctx.exchange(me, obj)
         out = [view[i] if i == me else _copy(view[i]) for i in range(self._ctx.n)]
+        self._ctx.sync()
         return out
 
     def bcast(self, obj, root=0):
         me = self.Get_rank()
         view = self._ctx.exchange(me, obj if me == root else None)
         out = view[root] if me == root else _copy(view[root])
+        self._ctx.sync()
         return out
 
     def Bcast(self, buf, root=0):
@@ -194,12 +196,14 @@ class Comm:
         view = self._ctx.exchange(me, buf if me == root else None)
         if me != root:
             np.copyto(buf, view[root])
+        self._ctx.sync()
 
     def scatter(self, objs, root=0):
         me = self.Get_rank()
         view = self._ctx.exchange(me, objs if me == root else None)
         item = view[root][me]
         out = item if me == root else _copy(item)
+        self._ctx.sync()
         return out
 
     def Reduce_scatter(self, sendbuf, recvbuf, recvcounts=None, op=SUM):
@@ -219,6 +223,7 @@ class Comm:
         me = self.Get_rank()
         chunk = acc.ravel()[me * recvbuf.size:(me + 1) * recvbuf.size]
         recvbuf[...] = chunk.reshape(recvbuf.shape).astype(recvbuf.dtype, copy=False)
+        self._ctx.sync()
 
     # -- topology -------------------------------------------------------
     def Create_cart(self, dims, periods=None, reorder=False):
