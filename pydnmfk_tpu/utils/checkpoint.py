@@ -6,10 +6,12 @@ Reference: ``utils.Checkpoint`` (pyDNMFk/utils.py:486-536) pickles
 replayed, so an interrupted k restarts from its first perturbation.
 
 This implementation checkpoints at strictly finer granularity: alongside
-(flag, perturbation, k) it stores the RNG seed and, when a k completes, the
-per-k results live in results.h5 exactly as in the reference (which is what
-makes restart-at-k valid there too).  State is JSON (human-readable,
-version-tagged) instead of pickled objects.
+(flag, perturbation, k) it stores the RNG seed, completed ensemble batches
+persist to per-k ``ensemble_parts/`` files (config-stamped, replayed on
+restart — models/nmfk.py, tested by tests/test_ensemble_memory.py), and
+when a k completes the per-k results live in results.h5 exactly as in the
+reference (which is what makes restart-at-k valid there too).  State is
+JSON (human-readable, version-tagged) instead of pickled objects.
 """
 from __future__ import annotations
 
