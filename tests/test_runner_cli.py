@@ -82,3 +82,33 @@ def test_save_factors_flag(tmp_path):
     W, H, err = NMF(cfg).fit(A)
     W2, H2 = read_factors(str(tmp_path), (1, 1), reg=False)
     np.testing.assert_allclose(np.asarray(W), W2)
+
+
+def test_cli_seed_grid_parse():
+    """--seed_grid='2,2' reaches NMFkConfig.seed_grid through the Runner."""
+    from pydnmfk_tpu.cli import build_parser
+    args = build_parser().parse_args(
+        ["--p_r", "1", "--p_c", "1", "--seed_grid", "2,2"])
+    assert args.seed_grid == "2,2"
+    r = Runner(process="pyDNMFk", seed_grid=(2, 2))
+    assert r.seed_grid == (2, 2)
+
+
+def test_runner_seed_grid_changes_sampling(tmp_path):
+    """seed_grid compat vs default sampling give different ensembles (the
+    reference-MPI tiling is a real statistical change)."""
+    from pydnmfk_tpu.config import NMFConfig, NMFkConfig
+    from pydnmfk_tpu.models.nmfk import NMFk
+    rng = np.random.default_rng(0)
+    A = (rng.random((16, 4)) @ rng.random((4, 12))).astype(np.float32)
+    outs = {}
+    for tag, sg in [("tiled", (2, 2)), ("indep", None)]:
+        cfg = NMFkConfig(
+            nmf=NMFConfig(itr=40, norm="fro", method="mu", init="rand"),
+            start_k=3, end_k=3, perturbations=3, noise_var=0.05,
+            results_path=str(tmp_path / tag), fname="A", checkpoint=False,
+            seed_grid=sg)
+        m = NMFk(cfg)
+        m.fit(A)
+        outs[tag] = m.per_k_stats[3]["recon_err"]
+    assert not np.allclose(outs["tiled"], outs["indep"])
