@@ -144,7 +144,9 @@ class NMFkConfig:
     # (p_r*p_c)-fold tiled.  Set to that grid to reproduce the reference's
     # correlated-ensemble statistics (the executed swim golden nopt=16
     # depends on them — docs/PARITY.md); None = independent sampling (this
-    # framework's default, statistically stronger).
+    # framework's default, statistically stronger).  Requires the (possibly
+    # pruned) matrix dims to divide the grid, as the reference's
+    # identical-stream property implicitly does.
     seed_grid: Optional[Tuple[int, int]] = None
 
     @property
