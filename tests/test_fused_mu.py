@@ -169,3 +169,48 @@ def test_fused_kl_solve_dispatch():
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), rtol=5e-3,
                                atol=1e-5)
+
+
+def test_fused_auto_dispatch_policy(monkeypatch):
+    """The measured dispatch policy (docs/PERFORMANCE.md): auto-fusion only
+    for FRO + bf16-A on a single TPU shard; KL fused stays opt-in; KL
+    auto-chunks large blocks."""
+    from pydnmfk_tpu.config import NMFConfig
+    from pydnmfk_tpu.models import nmf as nmf_mod
+
+    captured = {}
+    real = nmf_mod._jitted_solver
+
+    def spy(norm, method, itr, W_update, chunk, batched, use_pallas=False,
+            use_fused=False, tol=0.0, tol_check_every=50, mesh=None,
+            err_chunk=0):
+        captured.update(norm=norm, chunk=chunk, use_fused=use_fused,
+                        use_pallas=use_pallas, err_chunk=err_chunk)
+        return real(norm, method, itr, W_update, chunk, batched, use_pallas,
+                    use_fused, tol, tol_check_every, mesh, err_chunk)
+
+    monkeypatch.setattr(nmf_mod, "_jitted_solver", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    A32 = jnp.ones((64, 48), jnp.float32)
+    A16 = jnp.ones((64, 48), jnp.bfloat16)
+    W = jnp.ones((64, 3), jnp.float32)
+    H = jnp.ones((3, 48), jnp.float32)
+    eps = jnp.float32(1e-7)
+
+    nmf_mod.solve(A16, W, H, eps, NMFConfig(k=3, norm="fro", itr=1))
+    assert captured["use_fused"] is True          # FRO + bf16-A: fused
+
+    nmf_mod.solve(A32, W, H, eps, NMFConfig(k=3, norm="fro", itr=1))
+    assert captured["use_fused"] is False         # FRO f32: XLA wins
+
+    nmf_mod.solve(A32, W, H, eps, NMFConfig(k=3, norm="kl", itr=1))
+    assert captured["use_fused"] is False         # KL: fused is opt-in
+    assert captured["chunk"] == 0                 # small block: direct
+
+    A_big = jnp.ones((8192, 38400), jnp.float32)
+    Wb = jnp.ones((8192, 3), jnp.float32)
+    Hb = jnp.ones((3, 38400), jnp.float32)
+    nmf_mod.solve(A_big, Wb, Hb, eps, NMFConfig(k=3, norm="kl", itr=1))
+    assert captured["chunk"] > 0                  # large block: auto-chunk
+    assert captured["err_chunk"] > 0
