@@ -142,6 +142,12 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     pyDNMFk.py:226-231, becomes one compiled batch)."""
     sh = getattr(A, "sharding", None)
     single_shard = getattr(sh, "num_devices", 1) <= 1
+    sparse_A = linalg.is_sparse(A)
+    if sparse_A and not (cfg.norm.lower() == "fro"
+                         and cfg.method.lower() in ("mu", "hals")):
+        raise ValueError(
+            "sparse A supports norm='fro' with method 'mu'/'hals' (the KL "
+            "ratio and the BCD objective need dense residuals)")
     # multi-device memory-bounded KL: route the chunked/Pallas kernels
     # through shard_map on the array's own mesh (ops/kl.py::kl_*_sharded)
     mesh = None
@@ -153,7 +159,8 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     if use_pallas is None:
         use_pallas = False      # opt-in (cfg.use_pallas=True); TPU-only
     if use_pallas and (
-            jax.default_backend() != "tpu"
+            sparse_A
+            or jax.default_backend() != "tpu"
             or A.dtype == jnp.float64        # kernels accumulate in f32
             or A.dtype != W.dtype            # mixed precision: XLA path
             or (not single_shard and mesh is None)):
@@ -168,10 +175,11 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     use_fused = cfg.use_fused
     if use_fused is None:
         use_fused = (jax.default_backend() == "tpu" and single_shard
-                     and not batched and cfg.method.lower() == "mu"
+                     and not batched and not sparse_A
+                     and cfg.method.lower() == "mu"
                      and cfg.norm.lower() == "fro"
                      and A.dtype == jnp.bfloat16)
-    elif use_fused and not single_shard:
+    elif use_fused and (not single_shard or sparse_A):
         use_fused = False
     # KL memory safety: the direct path materializes the m x n ratio U —
     # at flagship f32 scale U + A alone exceed HBM.  Auto-chunk when the
@@ -186,8 +194,8 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     # memory-bounded error passes: the final relative_error would
     # otherwise materialize an A-sized W@H product (2x 8.8 GB at flagship
     # f32 scale — more than one v5e HBM)
-    err_chunk = linalg.error_chunk_rows(A.shape[-2], A.shape[-1],
-                                        sharded=not single_shard)
+    err_chunk = 0 if sparse_A else linalg.error_chunk_rows(
+        A.shape[-2], A.shape[-1], sharded=not single_shard)
     fn = _jitted_solver(cfg.norm.lower(), cfg.method.lower(), cfg.itr,
                         cfg.W_update if W_update is None else W_update,
                         chunk, batched, bool(use_pallas),
@@ -265,7 +273,18 @@ class NMF:
         """Returns (W, H, recon_err) as the reference PyNMF.fit does
         (pyDNMF.py:137-182)."""
         cfg = self.cfg
-        A = jnp.asarray(A, dtype=cfg.a_dtype)
+        sparse_A = linalg.is_sparse(A)
+        if sparse_A:
+            if cfg.prune:
+                raise ValueError("prune is not supported with sparse A "
+                                 "(pruning IS implicit in sparsity)")
+            if cfg.init == "nnsvd":
+                raise ValueError("nnsvd init requires dense A; use "
+                                 "init='rand' with sparse matrices")
+            if self.ctx.n_devices > 1:
+                raise ValueError("sparse A currently runs single-device")
+        else:
+            A = jnp.asarray(A, dtype=cfg.a_dtype)
         with timing.timed("init_factors"):
             if factors is not None:
                 W = jnp.asarray(factors[0], dtype=cfg.dtype)
@@ -276,8 +295,11 @@ class NMF:
         if cfg.prune:
             A, W, H, self.prune_state = prune_all(A, W, H)
 
-        A, W, H, (m_sol, n_sol) = self._mesh_pad(A, W, H)
-        A, W, H = self._shard(A, W, H)
+        if sparse_A:
+            m_sol, n_sol = A.shape
+        else:
+            A, W, H, (m_sol, n_sol) = self._mesh_pad(A, W, H)
+            A, W, H = self._shard(A, W, H)
 
         eps = jnp.asarray(cfg.eps, dtype=cfg.dtype)
         with timing.timed("solve"):

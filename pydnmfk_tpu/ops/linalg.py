@@ -21,6 +21,19 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def is_sparse(x) -> bool:
+    """True for jax.experimental.sparse arrays (BCOO/BCSR).
+
+    Sparse A extends the framework beyond the dense-only reference
+    (its extreme-scale runs, docs/scalability.png, were dense): FRO-norm
+    solvers accept a BCOO A, with all products sparse-dense and the
+    error computed via the Gram identity so the dense m x n residual
+    never materializes.
+    """
+    from jax.experimental import sparse
+    return isinstance(x, sparse.JAXSparse)
+
+
 def _acc_dtype(x):
     """Accumulate low-precision inputs in f32; keep f64 when enabled.
     Accepts an array or a dtype."""
@@ -39,6 +52,10 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     half bandwidth and the small factor operand is rounded once, on-chip),
     accumulation stays f32/f64, and the result is returned in the *wider*
     dtype so factor updates keep full precision."""
+    if is_sparse(a) or is_sparse(b):
+        # sparse-dense product (BCOO __matmul__); data is stored at the
+        # working dtype, accumulation follows the sparse rules
+        return a @ b
     if a.dtype != b.dtype:
         a_bits = jnp.finfo(a.dtype).bits
         b_bits = jnp.finfo(b.dtype).bits
@@ -73,6 +90,9 @@ def matmul_AHT(A: jax.Array, H: jax.Array) -> jax.Array:
 
 def sqnorm(X: jax.Array) -> jax.Array:
     """Global squared Frobenius norm (f32/f64 accumulation)."""
+    if is_sparse(X):
+        d = X.data.astype(_acc_dtype(X.data))
+        return jnp.sum(d * d)
     Xa = X.astype(_acc_dtype(X))
     return jnp.sum(Xa * Xa)
 
@@ -131,6 +151,8 @@ def relative_error(A: jax.Array, W: jax.Array, H: jax.Array,
     product) never materializes — required at flagship scale, where
     A + W H alone (2 x 8.8 GB f32) exceeds one v5e HBM.  Numerics match
     the direct path up to f32 summation order."""
+    if is_sparse(A):
+        return _sparse_relative_error(A, W, H)
     if not chunk or chunk >= A.shape[0]:
         R = A - matmul(W, H)
         return fro_norm(R) / fro_norm(A)
@@ -142,6 +164,8 @@ def column_error(A: jax.Array, W: jax.Array, H: jax.Array,
                  chunk: int = 0) -> jax.Array:
     """Per-global-column relative L2 error, length-n vector
     (reference pyDNMF.py:220-239).  ``chunk`` as in relative_error."""
+    if is_sparse(A):
+        return _sparse_column_error(A, W, H)
     if not chunk or chunk >= A.shape[0]:
         R = A - matmul(W, H)
         num = col_sqnorms(R)
@@ -177,3 +201,35 @@ def normalize_features(W: jax.Array, H: jax.Array, eps: float):
     W = W / (s + eps)
     H = H * s.T
     return W, H
+
+
+# ---------------------------------------------------------------------------
+# Sparse-A error identities.  ||A - WH||^2 expands to
+#   ||A||^2 - 2 <A, WH> + ||WH||^2
+# where <A, WH> = sum(H o (W^T A)) and ||WH||^2 = sum((W^T W) o (H H^T)) —
+# every term is nnz- or k-sized; the dense m x n residual never exists.
+# f32 cancellation limits accuracy to ~1e-3 relative error resolution at
+# f32 (fine for NMF reconstruction errors, which are O(1e-2..1)).
+# ---------------------------------------------------------------------------
+def _sparse_relative_error(A, W, H):
+    acc = _acc_dtype(A.data)
+    WTA = matmul(W.T, A).astype(acc)          # (k, n) sparse-dense
+    a2 = sqnorm(A)
+    cross = jnp.sum(H.astype(acc) * WTA)
+    wh2 = jnp.sum(gram(W).astype(acc) * gram_t(H).astype(acc))
+    num = jnp.maximum(a2 - 2.0 * cross + wh2, 0.0)
+    return jnp.sqrt(num) / jnp.sqrt(a2)
+
+
+def _sparse_column_error(A, W, H):
+    from jax.experimental import sparse
+    acc = _acc_dtype(A.data)
+    WTA = matmul(W.T, A).astype(acc)
+    cross = jnp.sum(H.astype(acc) * WTA, axis=0)              # (n,)
+    WTW = gram(W).astype(acc)
+    wh2 = jnp.sum(H.astype(acc) * matmul(WTW, H.astype(acc)), axis=0)
+    A2 = sparse.BCOO((A.data.astype(acc) ** 2, A.indices),
+                     shape=A.shape)
+    a2 = jnp.ones((A.shape[0],), acc) @ A2                    # (n,)
+    num = jnp.maximum(a2 - 2.0 * cross + wh2, 0.0)
+    return jnp.sqrt(num / jnp.maximum(a2, jnp.finfo(acc).tiny))
