@@ -78,6 +78,14 @@ class NMFConfig:
     use_fused: Optional[bool] = None
     tol: float = 0.0         # early stop when relative error improves < tol
     tol_check_every: int = 50   # iterations between convergence checks
+    # Mid-solve checkpointing for long factorizations: > 0 runs the
+    # iteration loop in chunks of this many iterations (rounded to a
+    # multiple of 10 to keep the reference's eps-clip cadence) and persists
+    # (W, H, iteration) after each chunk; an interrupted fit resumes from
+    # the last chunk.  The chunked trajectory is identical to a single
+    # solve (normalize/error run once, at the end).  The reference has no
+    # recovery below whole-k granularity.  Incompatible with tol > 0.
+    solve_checkpoint_every: int = 0
 
     @property
     def p_r(self) -> int:

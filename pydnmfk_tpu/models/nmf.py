@@ -17,6 +17,7 @@ Reference semantics preserved:
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Optional, Tuple
 
@@ -39,7 +40,8 @@ from . import updates
 def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
            W_update: bool, chunk: int, use_pallas: bool = False,
            use_fused: bool = False, tol: float = 0.0,
-           tol_check_every: int = 50, mesh=None, err_chunk: int = 0):
+           tol_check_every: int = 50, mesh=None, err_chunk: int = 0,
+           finalize: bool = True):
     norm = norm.lower()
     method = method.lower()
     if norm == "fro" and method == "mu":
@@ -116,6 +118,11 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
                     lambda wh: lax.fori_loop(n_full * chunk_n, itr, body, wh),
                     lambda wh: wh, (W, H))
 
+    if not finalize:
+        # mid-solve checkpoint chunk: the reference semantics normalize and
+        # measure error only once, at the very end (pyDNMF.py:158-162) —
+        # skipping here keeps the chunked trajectory identical
+        return W, H, jnp.zeros((), linalg._acc_dtype(A))
     W, H = linalg.normalize_features(W, H, eps)
     err = linalg.relative_error(A, W, H, err_chunk)
     return W, H, err
@@ -124,19 +131,20 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
 @lru_cache(maxsize=64)
 def _jitted_solver(norm, method, itr, W_update, chunk, batched,
                    use_pallas=False, use_fused=False, tol=0.0,
-                   tol_check_every=50, mesh=None, err_chunk=0):
+                   tol_check_every=50, mesh=None, err_chunk=0,
+                   finalize=True):
     fn = partial(_solve, norm=norm, method=method, itr=itr,
                  W_update=W_update, chunk=chunk, use_pallas=use_pallas,
                  use_fused=use_fused, tol=tol,
                  tol_check_every=tol_check_every, mesh=mesh,
-                 err_chunk=err_chunk)
+                 err_chunk=err_chunk, finalize=finalize)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, 0, 0, None))
     return jax.jit(fn)
 
 
 def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
-          batched: bool = False):
+          batched: bool = False, finalize: bool = True):
     """Run the full iteration loop.  ``batched=True`` maps over a leading
     ensemble axis of A/W/H (the reference's serial perturbation loop,
     pyDNMFk.py:226-231, becomes one compiled batch)."""
@@ -200,7 +208,8 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                         cfg.W_update if W_update is None else W_update,
                         chunk, batched, bool(use_pallas),
                         bool(use_fused), float(cfg.tol),
-                        int(cfg.tol_check_every), mesh, err_chunk)
+                        int(cfg.tol_check_every), mesh, err_chunk,
+                        bool(finalize))
     return fn(A, W, H, eps)
 
 
@@ -303,7 +312,10 @@ class NMF:
 
         eps = jnp.asarray(cfg.eps, dtype=cfg.dtype)
         with timing.timed("solve"):
-            W, H, err = solve(A, W, H, eps, cfg)
+            if cfg.solve_checkpoint_every > 0:
+                W, H, err = self._solve_checkpointed(A, W, H, eps)
+            else:
+                W, H, err = solve(A, W, H, eps, cfg)
             W, H, err = jax.block_until_ready((W, H, err))
         self.recon_err = float(err)
         # (possibly padded) views for column_err; _valid_n masks padding
@@ -321,6 +333,55 @@ class NMF:
                 DataWriter(cfg.results_path, cfg.grid).save_factors(
                     np.asarray(W), np.asarray(H))
         return W, H, self.recon_err
+
+    def _solve_checkpointed(self, A, W, H, eps):
+        """Run the iteration loop in persisted chunks so a multi-hour
+        factorization survives preemption (the reference has no recovery
+        below whole-k granularity).  The trajectory is identical to one
+        solve: chunks skip the final normalize/error (finalize=False) and a
+        zero-iteration finalize pass applies them once at the end."""
+        cfg = self.cfg
+        if cfg.tol > 0:
+            raise ValueError(
+                "solve_checkpoint_every is incompatible with tol-based "
+                "early stopping (fixed-iteration path only)")
+        if cfg.method.lower() == "bcd":
+            raise ValueError(
+                "solve_checkpoint_every does not support BCD (its inner "
+                "solver carries extrapolation state across iterations)")
+        every = max(10, (cfg.solve_checkpoint_every // 10) * 10)
+        os.makedirs(cfg.results_path, exist_ok=True)
+        path = os.path.join(cfg.results_path, f"solve_ckpt_k{cfg.k}.npz")
+        tag = repr((cfg.k, cfg.itr, cfg.norm.lower(), cfg.method.lower(),
+                    cfg.seed, cfg.precision, cfg.a_precision,
+                    tuple(A.shape)))
+        start = 0
+        if os.path.exists(path):
+            try:
+                with np.load(path) as d:
+                    if str(d["tag"]) == tag:
+                        W = jnp.asarray(d["W"])
+                        H = jnp.asarray(d["H"])
+                        start = int(d["i"])
+            except Exception:
+                pass                      # torn write: restart from 0
+        i = start
+        while i < cfg.itr:
+            n = min(every, cfg.itr - i)
+            W, H, _ = solve(A, W, H, eps, cfg.replace(itr=n),
+                            finalize=False)
+            W, H = jax.block_until_ready((W, H))
+            i += n
+            tmp = path + ".tmp.npz"
+            np.savez(tmp, W=np.asarray(W), H=np.asarray(H), i=i, tag=tag)
+            os.replace(tmp, path)
+        # zero-iteration finalize pass: normalize + error exactly once
+        W, H, err = solve(A, W, H, eps, cfg.replace(itr=0), finalize=True)
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return W, H, err
 
     def column_err(self) -> np.ndarray:
         """Per-column relative error of the last fit, in pruned space padded

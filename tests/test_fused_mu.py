@@ -183,11 +183,12 @@ def test_fused_auto_dispatch_policy(monkeypatch):
 
     def spy(norm, method, itr, W_update, chunk, batched, use_pallas=False,
             use_fused=False, tol=0.0, tol_check_every=50, mesh=None,
-            err_chunk=0):
+            err_chunk=0, finalize=True):
         captured.update(norm=norm, chunk=chunk, use_fused=use_fused,
                         use_pallas=use_pallas, err_chunk=err_chunk)
         return real(norm, method, itr, W_update, chunk, batched, use_pallas,
-                    use_fused, tol, tol_check_every, mesh, err_chunk)
+                    use_fused, tol, tol_check_every, mesh, err_chunk,
+                    finalize)
 
     monkeypatch.setattr(nmf_mod, "_jitted_solver", spy)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
