@@ -151,11 +151,10 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     sh = getattr(A, "sharding", None)
     single_shard = getattr(sh, "num_devices", 1) <= 1
     sparse_A = linalg.is_sparse(A)
-    if sparse_A and not (cfg.norm.lower() == "fro"
-                         and cfg.method.lower() in ("mu", "hals")):
+    if sparse_A and cfg.method.lower() == "bcd":
         raise ValueError(
-            "sparse A supports norm='fro' with method 'mu'/'hals' (the KL "
-            "ratio and the BCD objective need dense residuals)")
+            "sparse A supports MU (fro/kl) and HALS; the BCD objective "
+            "needs the dense residual every inner step")
     # multi-device memory-bounded KL: route the chunked/Pallas kernels
     # through shard_map on the array's own mesh (ops/kl.py::kl_*_sharded)
     mesh = None
@@ -194,7 +193,7 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     # block is large and nothing else bounds it (fused reads A once and
     # keeps U in VMEM; on a mesh per-device blocks already shrink).
     chunk = cfg.kl_chunk
-    if (cfg.norm.lower() == "kl" and not chunk
+    if (cfg.norm.lower() == "kl" and not chunk and not sparse_A
             and not (use_fused and (cfg.W_update if W_update is None
                                     else W_update))):
         chunk = linalg.error_chunk_rows(A.shape[-2], A.shape[-1],

@@ -119,6 +119,46 @@ def _ensemble_program(ncfg: NMFConfig, b_pad: int, sampling: str,
     return jax.jit(program)
 
 
+@functools.lru_cache(maxsize=32)
+def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
+                             noise_var: float, m: int, n: int):
+    """Per-batch ensemble program for sparse (BCOO) A: members are batched
+    nnz-sized data vectors over SHARED indices, vmapped through the same
+    _solve body (every sparse product is a gather/segment_sum with a
+    trivial batching rule — ops/sparse.py).  Single device; the dense
+    program's mesh/Pallas/fused machinery does not apply."""
+    from jax.experimental import sparse as jsparse
+    k = ncfg.k
+
+    def program(data, indices, key, offset):
+        keys = sampler.member_keys(key, offset, b_pad)
+        data_ens = jax.vmap(lambda kk: sampler.sample_member(
+            data, sampler.member_noise_key(kk), noise_var,
+            sampling))(keys)
+        if data_ens.dtype != jnp.dtype(ncfg.a_dtype):
+            data_ens = data_ens.astype(ncfg.a_dtype)
+        W0 = jax.vmap(lambda kk: jax.random.uniform(
+            jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
+            jnp.float32))(keys).astype(ncfg.dtype)
+        H0 = jax.vmap(lambda kk: jax.random.uniform(
+            jax.random.fold_in(kk, sampler.H0_STREAM), (k, n),
+            jnp.float32))(keys).astype(ncfg.dtype)
+        eps = jnp.asarray(ncfg.eps, ncfg.dtype)
+
+        def member(d, w0, h0):
+            Am = jsparse.BCOO((d, indices), shape=(m, n),
+                              unique_indices=True)
+            return nmf_mod._solve(
+                Am, w0, h0, eps, norm=ncfg.norm.lower(),
+                method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
+                chunk=0, tol=float(ncfg.tol),
+                tol_check_every=int(ncfg.tol_check_every))
+
+        return jax.vmap(member)(data_ens, W0, H0)
+
+    return jax.jit(program)
+
+
 def _ensemble_cfg_tag(ncfg: NMFConfig, cfg: NMFkConfig) -> str:
     """Stamp identifying everything that shapes a member's result: replayed
     parts from an interrupted run are valid only if the solver AND noise
@@ -185,7 +225,24 @@ class NMFk:
         PyNMFk.fit, pyDNMFk.py:168-215)."""
         cfg = self.cfg
         os.makedirs(self.results_path, exist_ok=True)
-        A = jnp.asarray(A, dtype=cfg.nmf.dtype)
+        self._sparse = linalg.is_sparse(A)
+        if self._sparse:
+            if cfg.nmf.prune:
+                raise ValueError("prune is not supported with sparse A "
+                                 "(pruning IS implicit in sparsity)")
+            if self.ctx.n_devices > 1:
+                raise ValueError("sparse A currently runs single-device")
+            if cfg.nmf.init != "rand":
+                raise ValueError("sparse NMFk requires init='rand' (nnsvd "
+                                 "needs dense A)")
+            if cfg.seed_grid not in (None, (1, 1)):
+                raise ValueError("seed-grid MPI compat is dense-only")
+            if jnp.dtype(A.data.dtype) != jnp.dtype(cfg.nmf.dtype):
+                from jax.experimental import sparse as jsparse
+                A = jsparse.BCOO((A.data.astype(cfg.nmf.dtype), A.indices),
+                                 shape=A.shape)
+        else:
+            A = jnp.asarray(A, dtype=cfg.nmf.dtype)
         self._orig_shape = A.shape
         # prune once before sampling: multiplicative/Poisson noise keeps
         # zeros zero, so this matches the reference pruning inside every
@@ -226,6 +283,11 @@ class NMFk:
         m, n = A.shape
         if cfg.ensemble_batch:
             batch = cfg.ensemble_batch
+        elif linalg.is_sparse(A):
+            from ..utils.memory import auto_ensemble_batch_sparse
+            batch = auto_ensemble_batch_sparse(
+                m, n, A.nse, k, cfg.perturbations, ncfg,
+                budget=cfg.hbm_budget or None)
         else:
             batch = auto_ensemble_batch(
                 m, n, k, cfg.perturbations, ncfg,
@@ -248,8 +310,9 @@ class NMFk:
         ncfg = cfg.nmf.replace(k=k)
         n_pert = cfg.perturbations
         p_e = self.ctx.p_e
+        sparse_A = linalg.is_sparse(A)
         sh0 = getattr(A, "sharding", None)
-        if ncfg.norm.lower() == "kl" and not ncfg.kl_chunk:
+        if ncfg.norm.lower() == "kl" and not ncfg.kl_chunk and not sparse_A:
             # KL memory safety for the batched path too: bound the per-
             # member m x n ratio slab (models/nmf.solve applies the same
             # policy on the non-batched path); done before batch sizing so
@@ -268,7 +331,7 @@ class NMFk:
         # FRO bf16-A path, tools/batched_fused_probe.py)
         sh = getattr(A, "sharding", None)
         single_shard = getattr(sh, "num_devices", 1) <= 1
-        use_pallas = bool(cfg.nmf.use_pallas) and (
+        use_pallas = not sparse_A and bool(cfg.nmf.use_pallas) and (
             jax.default_backend() == "tpu" and single_shard
             and jnp.dtype(ncfg.a_dtype) == jnp.dtype(ncfg.dtype)
             and ncfg.dtype != jnp.float64)
@@ -278,7 +341,7 @@ class NMFk:
                          and ncfg.method.lower() == "mu"
                          and ncfg.norm.lower() == "fro"
                          and jnp.dtype(ncfg.a_dtype) == jnp.bfloat16)
-        use_fused = bool(use_fused) and single_shard
+        use_fused = bool(use_fused) and single_shard and not sparse_A
 
         parts_dir = os.path.join(self.results_path, str(k), "ensemble_parts")
         done, W_parts, H_parts, err_parts = 0, [], [], []
@@ -295,11 +358,17 @@ class NMFk:
         while done < n_pert:
             b = min(batch, n_pert - done)
             b_pad = -(-b // p_e) * p_e
-            program = _ensemble_program(ncfg, b_pad, cfg.sampling,
-                                        float(cfg.noise_var), self.ctx,
-                                        p_e > 1, use_pallas, err_chunk,
-                                        cfg.seed_grid, use_fused)
-            W, H, errs = program(A, key, done)
+            if sparse_A:
+                program = _ensemble_program_sparse(
+                    ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                    A.shape[0], A.shape[1])
+                W, H, errs = program(A.data, A.indices, key, done)
+            else:
+                program = _ensemble_program(ncfg, b_pad, cfg.sampling,
+                                            float(cfg.noise_var), self.ctx,
+                                            p_e > 1, use_pallas, err_chunk,
+                                            cfg.seed_grid, use_fused)
+                W, H, errs = program(A, key, done)
             W_parts.append(W[:b])
             H_parts.append(H[:b])
             err_parts.append(errs[:b])

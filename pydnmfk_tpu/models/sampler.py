@@ -53,6 +53,17 @@ def sample_member(A, key, noise_var, method: str = "uniform",
     executed reference's swim golden (nopt=16) depends on these correlated
     ensembles — see docs/PARITY.md.  Requires A's dims divisible by the
     grid (as the reference's identical-stream property implicitly does)."""
+    from ..ops.linalg import is_sparse
+    if is_sparse(A):
+        # perturb only the stored nnz values: multiplicative uniform noise
+        # and Poisson both map 0 -> 0, so this is exact vs the dense formula
+        if tile_grid not in (None, (1, 1)):
+            raise ValueError("seed-grid MPI compat is dense-only")
+        from jax.experimental import sparse as jsparse
+        data = sample_member(A.data, key, noise_var, method)
+        return jsparse.BCOO((data, A.indices), shape=A.shape,
+                            indices_sorted=A.indices_sorted,
+                            unique_indices=A.unique_indices)
     if method == "uniform":
         shape = A.shape
         if tile_grid is not None and tile_grid != (1, 1):

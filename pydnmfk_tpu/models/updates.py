@@ -54,7 +54,16 @@ def mu_kl_step(A, W, H, eps, W_update=True, chunk=0, use_pallas=False,
     (ops/kl.py::kl_*_sharded) so the chunked/Pallas single-shard kernels run
     per device block — the multi-device equivalent of the reference's 2D KL
     path (dist_nmf.py:293-343) without a full m x n intermediate."""
-    if mesh is not None:
+    if linalg.is_sparse(A):
+        # triplet path: U shares A's sparsity pattern exactly (0/x == 0),
+        # so both products touch only nnz entries (ops/sparse.py); the
+        # chunk/Pallas/mesh machinery is dense-only and unused here
+        from ..ops.sparse import (kl_uht_sparse, kl_wtu_sparse,
+                                  nnz_chunk_size)
+        nc = nnz_chunk_size(A.nse, W.shape[1])
+        uht = lambda a, w, h: kl_uht_sparse(a, w, h, eps, nc)
+        wtu = lambda a, w, h: kl_wtu_sparse(a, w, h, eps, nc)
+    elif mesh is not None:
         from ..ops.kl import kl_uht_sharded, kl_wtu_sharded
         uht = lambda a, w, h: kl_uht_sharded(a, w, h, eps, mesh, chunk,
                                              use_pallas)

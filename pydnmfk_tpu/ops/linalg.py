@@ -80,11 +80,17 @@ def gram_t(X: jax.Array) -> jax.Array:
 
 def matmul_WTA(W: jax.Array, A: jax.Array) -> jax.Array:
     """W^T A -> (k, n), sharded like H.  psum over 'r'."""
+    if is_sparse(A):
+        from .sparse import nnz_chunk_size, wt_a_bcoo
+        return wt_a_bcoo(A, W, nnz_chunk_size(A.nse, W.shape[1]))
     return matmul(W.T, A)
 
 
 def matmul_AHT(A: jax.Array, H: jax.Array) -> jax.Array:
     """A H^T -> (m, k), sharded like W.  psum over 'c'."""
+    if is_sparse(A):
+        from .sparse import a_ht_bcoo, nnz_chunk_size
+        return a_ht_bcoo(A, H, nnz_chunk_size(A.nse, H.shape[0]))
     return matmul(A, H.T)
 
 
@@ -213,7 +219,7 @@ def normalize_features(W: jax.Array, H: jax.Array, eps: float):
 # ---------------------------------------------------------------------------
 def _sparse_relative_error(A, W, H):
     acc = _acc_dtype(A.data)
-    WTA = matmul(W.T, A).astype(acc)          # (k, n) sparse-dense
+    WTA = matmul_WTA(W, A).astype(acc)        # (k, n), gather/segment path
     a2 = sqnorm(A)
     cross = jnp.sum(H.astype(acc) * WTA)
     wh2 = jnp.sum(gram(W).astype(acc) * gram_t(H).astype(acc))
@@ -222,14 +228,12 @@ def _sparse_relative_error(A, W, H):
 
 
 def _sparse_column_error(A, W, H):
-    from jax.experimental import sparse
+    from .sparse import col_sqsum
     acc = _acc_dtype(A.data)
-    WTA = matmul(W.T, A).astype(acc)
+    WTA = matmul_WTA(W, A).astype(acc)
     cross = jnp.sum(H.astype(acc) * WTA, axis=0)              # (n,)
     WTW = gram(W).astype(acc)
     wh2 = jnp.sum(H.astype(acc) * matmul(WTW, H.astype(acc)), axis=0)
-    A2 = sparse.BCOO((A.data.astype(acc) ** 2, A.indices),
-                     shape=A.shape)
-    a2 = jnp.ones((A.shape[0],), acc) @ A2                    # (n,)
+    a2 = col_sqsum(A.data, A.indices[:, 1], A.shape[1])       # (n,)
     num = jnp.maximum(a2 - 2.0 * cross + wh2, 0.0)
     return jnp.sqrt(num / jnp.maximum(a2, jnp.finfo(acc).tiny))

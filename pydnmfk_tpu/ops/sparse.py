@@ -1,0 +1,179 @@
+"""Sparse-A products as gather + segment-sum primitives.
+
+The reference is dense-only (its extreme-scale runs, docs/scalability.png,
+were dense matrices); sparse A is a capability extension.  Everything here
+is written on the raw (data, rows, cols) triplet of a canonical BCOO
+matrix (unique, de-duplicated indices) using plain ``lax`` gathers and
+``segment_sum`` scatters rather than ``jax.experimental.sparse`` matmul
+primitives, for two reasons:
+
+* ``bcoo_dot_general_sampled``'s default lowering materializes the dense
+  m x n product and extracts — exactly the allocation sparse storage is
+  supposed to avoid.  The gather form is O(nnz * k) and chunkable.
+* gathers/segment_sums are ordinary dense ops with trivial ``vmap``
+  batching rules, so the NMFk ensemble can map a batch of perturbed
+  ``data`` vectors over shared ``indices`` (models/nmfk.py) without
+  relying on BCOO batching support.
+
+KL on sparse data is *exact* relative to the dense formula: the ratio
+U = A / (W H + eps) is identically zero wherever A is zero, so U shares
+A's sparsity pattern and the two MU products only ever touch nnz entries
+(reference dense formula: dist_nmf.py:803-811).
+
+The (nnz, k) gather intermediates are bounded by an nnz-chunked
+``fori_loop`` when they would exceed ~512 MB (mirrors
+linalg.error_chunk_rows' policy for the dense residual).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .linalg import _acc_dtype
+
+
+def nnz_chunk_size(nnz: int, k: int, budget_elems: int = 1 << 27) -> int:
+    """0 (direct) while the (nnz, k) gather intermediate stays under
+    ~budget_elems elements; otherwise an nnz block size inside the budget."""
+    if nnz * max(k, 1) <= budget_elems:
+        return 0
+    return max(1024, (budget_elems // max(k, 1)) // 8 * 8)
+
+
+def _rows_cols(indices):
+    return indices[..., 0], indices[..., 1]
+
+
+def sddmm(W, H, rows, cols, chunk: int = 0):
+    """(W @ H) sampled at (rows, cols) -> (nnz,), f32/f64 accumulation;
+    never forms the dense product."""
+    acc = _acc_dtype(W)
+
+    def block(r, c):
+        wg = W.astype(acc)[r]                  # (b, k)
+        hg = H.astype(acc)[:, c]               # (k, b)
+        return jnp.sum(wg * hg.T, axis=1)
+
+    nnz = rows.shape[0]
+    if not chunk or chunk >= nnz:
+        return block(rows, cols)
+    n_full = nnz // chunk
+    e1 = n_full * chunk
+
+    def body(i, out):
+        r = lax.dynamic_slice_in_dim(rows, i * chunk, chunk, 0)
+        c = lax.dynamic_slice_in_dim(cols, i * chunk, chunk, 0)
+        return lax.dynamic_update_slice_in_dim(out, block(r, c),
+                                               i * chunk, 0)
+
+    out = jnp.zeros((nnz,), acc)
+    out = lax.fori_loop(0, n_full, body, out)
+    if e1 < nnz:
+        out = out.at[e1:].set(block(rows[e1:], cols[e1:]))
+    return out
+
+
+def a_ht(data, rows, cols, H, m: int, chunk: int = 0):
+    """A @ H^T -> (m, k) from triplet A; segment-sum over rows."""
+    acc = _acc_dtype(H)
+    k = H.shape[0]
+
+    def block(d, r, c):
+        vals = d.astype(acc)[:, None] * H.astype(acc)[:, c].T   # (b, k)
+        return jax.ops.segment_sum(vals, r, num_segments=m)
+
+    nnz = data.shape[0]
+    if not chunk or chunk >= nnz:
+        return block(data, rows, cols)
+    n_full = nnz // chunk
+    e1 = n_full * chunk
+
+    def body(i, out):
+        d = lax.dynamic_slice_in_dim(data, i * chunk, chunk, 0)
+        r = lax.dynamic_slice_in_dim(rows, i * chunk, chunk, 0)
+        c = lax.dynamic_slice_in_dim(cols, i * chunk, chunk, 0)
+        return out + block(d, r, c)
+
+    out = lax.fori_loop(0, n_full, body, jnp.zeros((m, k), acc))
+    if e1 < nnz:
+        out = out + block(data[e1:], rows[e1:], cols[e1:])
+    return out
+
+
+def wt_a(data, rows, cols, W, n: int, chunk: int = 0):
+    """W^T @ A -> (k, n) from triplet A; segment-sum over cols."""
+    acc = _acc_dtype(W)
+    k = W.shape[1]
+
+    def block(d, r, c):
+        vals = d.astype(acc)[:, None] * W.astype(acc)[r]        # (b, k)
+        return jax.ops.segment_sum(vals, c, num_segments=n)
+
+    nnz = data.shape[0]
+    if not chunk or chunk >= nnz:
+        return block(data, rows, cols).T
+    n_full = nnz // chunk
+    e1 = n_full * chunk
+
+    def body(i, out):
+        d = lax.dynamic_slice_in_dim(data, i * chunk, chunk, 0)
+        r = lax.dynamic_slice_in_dim(rows, i * chunk, chunk, 0)
+        c = lax.dynamic_slice_in_dim(cols, i * chunk, chunk, 0)
+        return out + block(d, r, c)
+
+    out = lax.fori_loop(0, n_full, body, jnp.zeros((n, k), acc))
+    if e1 < nnz:
+        out = out + block(data[e1:], rows[e1:], cols[e1:])
+    return out.T
+
+
+def col_sqsum(data, cols, n: int):
+    """Per-column sum of squares -> (n,), f32/f64 accumulation."""
+    d = data.astype(_acc_dtype(data))
+    return jax.ops.segment_sum(d * d, cols, num_segments=n)
+
+
+# ---------------------------------------------------------------------------
+# BCOO-facing wrappers
+# ---------------------------------------------------------------------------
+def _triplet(A):
+    if A.indices.ndim != 2 or A.data.ndim != 1:
+        raise ValueError(
+            "sparse A must be an unbatched 2-D BCOO (n_batch=0, n_dense=0) "
+            f"with canonical indices; got data {A.data.shape}, "
+            f"indices {A.indices.shape}")
+    rows, cols = _rows_cols(A.indices)
+    return A.data, rows, cols
+
+
+def a_ht_bcoo(A, H, chunk: int = 0):
+    data, rows, cols = _triplet(A)
+    return a_ht(data, rows, cols, H, A.shape[0], chunk).astype(
+        jnp.result_type(A.data.dtype, H.dtype))
+
+
+def wt_a_bcoo(A, W, chunk: int = 0):
+    data, rows, cols = _triplet(A)
+    return wt_a(data, rows, cols, W, A.shape[1], chunk).astype(
+        jnp.result_type(A.data.dtype, W.dtype))
+
+
+def kl_uht_sparse(A, W, H, eps, chunk: int = 0):
+    """(A / (W H + eps)) @ H^T for sparse A: the ratio U is zero wherever
+    A is (0 / x == 0), so only nnz entries exist.  Exact vs the dense
+    reference formula (dist_nmf.py:803-811)."""
+    data, rows, cols = _triplet(A)
+    wh = sddmm(W, H, rows, cols, chunk)
+    u = data.astype(wh.dtype) / (wh + eps)
+    return a_ht(u, rows, cols, H, A.shape[0], chunk).astype(
+        jnp.result_type(A.data.dtype, W.dtype))
+
+
+def kl_wtu_sparse(A, W, H, eps, chunk: int = 0):
+    """W^T @ (A / (W H + eps)) for sparse A; see kl_uht_sparse."""
+    data, rows, cols = _triplet(A)
+    wh = sddmm(W, H, rows, cols, chunk)
+    u = data.astype(wh.dtype) / (wh + eps)
+    return wt_a(u, rows, cols, W, A.shape[1], chunk).astype(
+        jnp.result_type(A.data.dtype, W.dtype))

@@ -64,6 +64,29 @@ def ensemble_member_bytes(m: int, n: int, k: int, ncfg, grid_shape,
     return int(cost)
 
 
+def auto_ensemble_batch_sparse(m: int, n: int, nnz: int, k: int,
+                               n_pert: int, ncfg,
+                               budget: Optional[int] = None) -> int:
+    """Member batch for the sparse-A ensemble (single device): members are
+    nnz-sized data copies over shared indices; the gather intermediates are
+    (nnz_chunk, k) slabs (ops/sparse.py)."""
+    if budget is None:
+        budget = device_memory_budget()
+    from ..ops.sparse import nnz_chunk_size
+    a_bytes = 2 if ncfg.a_precision == "bfloat16" \
+        else np.dtype(ncfg.a_dtype).itemsize
+    w_b = 2 if ncfg.precision == "bfloat16" \
+        else np.dtype(ncfg.dtype).itemsize
+    fixed = nnz * (w_b + 8)                       # data + int32 index pair
+    chunk = nnz_chunk_size(nnz, k) or nnz
+    per_member = (nnz * a_bytes * A_WORK          # perturbed data copies
+                  + chunk * k * 4 * 2             # gather/segment slabs
+                  + (m * k + k * n) * w_b * F_WORK)
+    avail = budget * HEADROOM - fixed
+    batch = max(1, int(avail // per_member)) if avail > 0 else 1
+    return min(n_pert, batch)
+
+
 def auto_ensemble_batch(m: int, n: int, k: int, n_pert: int, ncfg,
                         grid_shape, p_e: int = 1,
                         budget: Optional[int] = None) -> int:

@@ -1,6 +1,8 @@
-"""Sparse-A support (beyond the dense-only reference): FRO-norm solvers on
-BCOO matrices, with error computed via the Gram identity (no dense m x n
-residual ever exists)."""
+"""Sparse-A support (beyond the dense-only reference): MU (fro/kl) and
+HALS solvers on BCOO matrices — every product is a gather/segment_sum over
+the nnz triplet (ops/sparse.py) and errors use the Gram identity, so no
+dense m x n intermediate ever exists — plus the vmapped sparse NMFk
+ensemble (models/nmfk.py::_ensemble_program_sparse)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,9 +72,103 @@ def test_sparse_rejects_unsupported():
     H = jnp.ones((2, 12), jnp.float32)
     eps = jnp.float32(1e-7)
     with pytest.raises(ValueError, match="sparse"):
-        nmf_mod.solve(Asp, W, H, eps, NMFConfig(k=2, norm="kl", itr=5))
-    with pytest.raises(ValueError, match="sparse"):
         nmf_mod.solve(Asp, W, H, eps,
                       NMFConfig(k=2, norm="fro", method="bcd", itr=5))
     with pytest.raises(ValueError, match="nnsvd"):
         NMF(NMFConfig(k=2, init="nnsvd")).fit(Asp)
+
+
+# ---------------------------------------------------------------------------
+# KL on the sparse triplet: U = A/(WH+eps) is zero wherever A is, so the
+# gather/segment path is EXACT vs the dense formula (up to summation order)
+# ---------------------------------------------------------------------------
+def test_sparse_kl_products_match_dense():
+    from pydnmfk_tpu.ops.sparse import kl_uht_sparse, kl_wtu_sparse
+    from pydnmfk_tpu.ops.kl import kl_uht, kl_wtu
+    rng = np.random.default_rng(5)
+    A, Asp = _sparse_lowrank(40, 28, 3, density=0.25, seed=5)
+    W = jnp.asarray(rng.random((40, 4)), jnp.float32)
+    H = jnp.asarray(rng.random((4, 28)), jnp.float32)
+    eps = jnp.float32(1.19e-7)
+    np.testing.assert_allclose(
+        np.asarray(kl_uht_sparse(Asp, W, H, eps)),
+        np.asarray(kl_uht(jnp.asarray(A), W, H, eps)), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(kl_wtu_sparse(Asp, W, H, eps)),
+        np.asarray(kl_wtu(jnp.asarray(A), W, H, eps)), rtol=1e-5, atol=1e-5)
+    # nnz-chunked path is bit-compatible in structure, close numerically
+    np.testing.assert_allclose(
+        np.asarray(kl_uht_sparse(Asp, W, H, eps, chunk=100)),
+        np.asarray(kl_uht_sparse(Asp, W, H, eps)), rtol=1e-6)
+
+
+def test_sparse_kl_solve_matches_dense():
+    A, Asp = _sparse_lowrank(48, 36, 3, density=0.3, seed=2)
+    rng = np.random.default_rng(3)
+    W0 = jnp.asarray(rng.random((48, 3)), jnp.float32)
+    H0 = jnp.asarray(rng.random((3, 36)), jnp.float32)
+    eps = jnp.float32(1.19e-7)
+    cfg = NMFConfig(k=3, norm="kl", method="mu", itr=50)
+    Wd, Hd, errd = nmf_mod.solve(jnp.asarray(A), W0, H0, eps, cfg)
+    Ws, Hs, errs = nmf_mod.solve(Asp, W0, H0, eps, cfg)
+    np.testing.assert_allclose(np.asarray(Ws), np.asarray(Wd), rtol=5e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(float(errs), float(errd), rtol=1e-3)
+    # frozen-W regression path (the NMFk refit)
+    Wr, Hr, er = nmf_mod.solve(Asp, Ws, Hs, eps, cfg.replace(itr=10),
+                               W_update=False)
+    np.testing.assert_allclose(np.asarray(Wr), np.asarray(
+        (Ws / (jnp.sum(Ws, 0) + eps))), rtol=1e-5, atol=1e-6)
+    assert float(er) <= float(errs) * 1.05
+
+
+def test_sparse_sampler_perturbs_nnz_only():
+    from pydnmfk_tpu.models import sampler
+    _, Asp = _sparse_lowrank(30, 20, 2, density=0.3, seed=6)
+    key = jax.random.key(0)
+    P = sampler.sample_one(Asp, key, 0.03)
+    assert linalg.is_sparse(P)
+    np.testing.assert_array_equal(np.asarray(P.indices),
+                                  np.asarray(Asp.indices))
+    ratio = np.asarray(P.data) / np.asarray(Asp.data)
+    assert np.all(ratio >= 1.03 - 1e-6) and np.all(ratio < 1.09 + 1e-6)
+    with pytest.raises(ValueError, match="dense-only"):
+        sampler.sample_member(Asp, key, 0.03, tile_grid=(2, 2))
+
+
+@pytest.mark.parametrize("norm", ["fro", "kl"])
+def test_sparse_nmfk_selects_true_k(tmp_path, norm):
+    """Full sparse NMFk: vmapped triplet ensemble -> clustering ->
+    frozen-W regression -> Wilcoxon walk selects the planted k."""
+    from pydnmfk_tpu.config import NMFkConfig
+    from pydnmfk_tpu.models.nmfk import NMFk
+    rng = np.random.default_rng(7)
+    m, n, ktrue = 80, 60, 3
+    W = np.zeros((m, ktrue))
+    for i in range(ktrue):
+        c = (i + 0.5) * m / ktrue
+        W[:, i] = np.exp(-0.5 * ((np.arange(m) - c) / (0.06 * m)) ** 2)
+    H = rng.random((ktrue, n)) + 0.1
+    A = (W @ H).astype(np.float32) * (rng.random((m, n)) < 0.5)
+    Asp = sparse.BCOO.fromdense(jnp.asarray(A))
+    cfg = NMFkConfig(nmf=NMFConfig(k=0, norm=norm, method="mu", itr=300,
+                                   init="rand", seed=42),
+                     start_k=2, end_k=5, perturbations=6, noise_var=0.03,
+                     sill_thr=0.6, results_path=str(tmp_path), fname="sp",
+                     checkpoint=False)
+    assert NMFk(cfg).fit(Asp) == ktrue
+
+
+def test_sparse_nmfk_rejects_unsupported(tmp_path):
+    from pydnmfk_tpu.config import NMFkConfig
+    from pydnmfk_tpu.models.nmfk import NMFk
+    _, Asp = _sparse_lowrank(16, 12, 2)
+    base = dict(start_k=2, end_k=3, perturbations=2,
+                results_path=str(tmp_path), fname="x", checkpoint=False)
+    with pytest.raises(ValueError, match="prune"):
+        NMFk(NMFkConfig(nmf=NMFConfig(k=0, prune=True), **base)).fit(Asp)
+    with pytest.raises(ValueError, match="nnsvd|rand"):
+        NMFk(NMFkConfig(nmf=NMFConfig(k=0, init="nnsvd"), **base)).fit(Asp)
+    with pytest.raises(ValueError, match="dense-only"):
+        NMFk(NMFkConfig(nmf=NMFConfig(k=0), seed_grid=(2, 2),
+                        **base)).fit(Asp)
