@@ -195,3 +195,125 @@ def predict_k(results_dir: str, model_json: str, **kw) -> int:
     """One-call convenience: results dir + model JSON -> predicted k."""
     return MLFeatureTools(results_dir, MLPModel.from_json(model_json),
                           **kw).predict_statistics()
+
+
+# ---------------------------------------------------------------------------
+# Training (beyond the reference, which ships only a pretrained sklearn
+# model + the JSON round-trip): a JAX/optax loop producing MLPModels in the
+# same schema, so users can retrain the k-predictor on their own NMFk
+# sweeps and the result still loads in the reference's deserializer
+# (utils.py:438-460) and vice versa.
+# ---------------------------------------------------------------------------
+def build_training_windows(app_datas: Sequence[Dict],
+                           true_ks: Sequence[int],
+                           property_list: Sequence[str] = DEFAULT_PROPERTIES):
+    """Turn labeled sweep statistics into (windows, offsets) training pairs.
+
+    ``app_datas`` are build_statistics() dicts (one per sweep), ``true_ks``
+    the known latent dimension of each.  Labels mirror the voting scheme's
+    interpretation (predict_statistics): offset of the true k inside the
+    window, clamped to 0 ("before this window") / ML_WINDOW-1 ("at or past
+    its end")."""
+    Xs, ys = [], []
+    for app, kt in zip(app_datas, true_ks):
+        ks = np.asarray(app["k"])
+        npreds = ks.shape[0] - ML_WINDOW
+        if npreds <= 0:
+            raise ValueError(
+                f"sweep over {ks.shape[0]} k values is shorter than the "
+                f"{ML_WINDOW + 1} needed for one window")
+        for i in range(npreds):
+            Xs.append(np.concatenate([np.asarray(app[p])[i:i + ML_WINDOW]
+                                      for p in property_list]))
+            off = int(np.clip(kt - ks[i], 0, ML_WINDOW - 1))
+            ys.append(off)
+    return np.asarray(Xs, np.float64), np.asarray(ys, np.int64)
+
+
+def train_mlp(X, y, hidden: Sequence[int] = (300, 200, 100),
+              activation: str = "relu", epochs: int = 300,
+              batch_size: int = 32, learning_rate: float = 1e-3,
+              alpha: float = 1e-4, seed: int = 0,
+              verbose: bool = False) -> MLPModel:
+    """Train a softmax-output MLP classifier in JAX (adam + L2, sklearn's
+    MLPClassifier defaults: glorot-uniform init, alpha-weighted ridge) and
+    return it as an inference/serialization-ready MLPModel."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    X = np.asarray(X, np.float32)
+    classes, y_idx = np.unique(np.asarray(y), return_inverse=True)
+    n, d = X.shape
+    n_cls = classes.shape[0]
+    sizes = [d, *hidden, n_cls]
+
+    key = jax.random.key(seed)
+    params = []
+    for i in range(len(sizes) - 1):
+        key, kw = jax.random.split(key)
+        bound = np.sqrt(6.0 / (sizes[i] + sizes[i + 1]))
+        W = jax.random.uniform(kw, (sizes[i], sizes[i + 1]), jnp.float32,
+                               -bound, bound)
+        params.append((W, jnp.zeros((sizes[i + 1],), jnp.float32)))
+
+    act = {"relu": jax.nn.relu, "tanh": jnp.tanh,
+           "logistic": jax.nn.sigmoid, "identity": lambda x: x}[activation]
+
+    def forward(params, x):
+        for W, b in params[:-1]:
+            x = act(x @ W + b)
+        W, b = params[-1]
+        return x @ W + b
+
+    def loss_fn(params, xb, yb):
+        logits = forward(params, xb)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+        l2 = sum(jnp.sum(W * W) for W, _ in params)
+        return jnp.mean(ce) + 0.5 * alpha * l2 / xb.shape[0]
+
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+    bs = min(batch_size, n)
+    n_batches = n // bs
+
+    @jax.jit
+    def epoch(params, opt_state, key):
+        perm = jax.random.permutation(key, n)[:n_batches * bs]
+        xb = jnp.asarray(X)[perm].reshape(n_batches, bs, d)
+        yb = jnp.asarray(y_idx)[perm].reshape(n_batches, bs)
+
+        def step(carry, batch):
+            params, opt_state = carry
+            l, g = jax.value_and_grad(loss_fn)(params, *batch)
+            updates, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), l
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (xb, yb))
+        return params, opt_state, jnp.mean(losses)
+
+    for e in range(epochs):
+        key, ke = jax.random.split(key)
+        params, opt_state, l = epoch(params, opt_state, ke)
+        if verbose and (e % 50 == 0 or e == epochs - 1):
+            print(f"epoch {e}: loss {float(l):.4f}")
+
+    return MLPModel([np.asarray(W, np.float64) for W, _ in params],
+                    [np.asarray(b, np.float64) for _, b in params],
+                    activation=activation, out_activation="softmax",
+                    classes=classes)
+
+
+def train_k_predictor(result_dirs: Sequence[str], true_ks: Sequence[int],
+                      property_list: Sequence[str] = DEFAULT_PROPERTIES,
+                      **train_kw) -> MLPModel:
+    """End-to-end retraining: NMFk sweep result dirs + known true k per
+    sweep -> trained window classifier usable by MLFeatureTools /
+    predict_k (and by the reference, via MLPModel.to_json)."""
+    apps = []
+    for d in result_dirs:
+        tool = MLFeatureTools(d, clf=None, property_list=property_list)
+        apps.append(dict(tool.build_statistics()))
+    X, y = build_training_windows(apps, true_ks, property_list)
+    return train_mlp(X, y, **train_kw)

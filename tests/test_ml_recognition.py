@@ -146,3 +146,48 @@ def test_mlp_from_sklearn_matches():
     np.testing.assert_allclose(model.predict_proba(X), clf.predict_proba(X),
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_array_equal(model.predict(X), clf.predict(X))
+
+
+# ---------------------------------------------------------------------------
+# Training loop (beyond the reference, which ships only a pretrained model):
+# JAX/optax trainer producing schema-compatible MLPModels
+# ---------------------------------------------------------------------------
+def test_train_mlp_learns_and_roundtrips(tmp_path):
+    from pydnmfk_tpu.models.ml_recognition import train_mlp
+
+    rng = np.random.default_rng(3)
+    # three Gaussian blobs in 6-D with non-contiguous class labels
+    n_per = 60
+    X = np.concatenate([rng.normal(loc=4.0 * i, scale=0.5, size=(n_per, 6))
+                        for i in range(3)])
+    y = np.repeat([2, 5, 9], n_per)
+    model = train_mlp(X, y, hidden=(16,), epochs=120, batch_size=16, seed=1)
+    acc = np.mean(model.predict(X) == y)
+    assert acc > 0.95
+    assert model.classes.tolist() == [2, 5, 9]
+    # the trained model serializes to the reference JSON schema and back
+    path = str(tmp_path / "trained.json")
+    model.to_json(path)
+    back = MLPModel.from_json(path)
+    np.testing.assert_array_equal(back.predict(X), model.predict(X))
+
+
+def test_train_k_predictor_end_to_end(tmp_path):
+    """Retrain the window classifier on synthetic labeled sweeps and verify
+    the voting scheme recovers the planted k on a held-out sweep."""
+    from pydnmfk_tpu.models.ml_recognition import (MLFeatureTools,
+                                                   train_k_predictor)
+
+    train_dirs, true_ks = [], []
+    for i, kt in enumerate([3, 4, 5, 6, 7, 8]):
+        d = tmp_path / f"sweep{i}"
+        _write_results(d, range(1, 15), true_k=kt)
+        train_dirs.append(str(d))
+        true_ks.append(kt)
+    model = train_k_predictor(train_dirs, true_ks, hidden=(32,),
+                              epochs=200, batch_size=8, seed=0)
+
+    held = tmp_path / "held"
+    _write_results(held, range(1, 15), true_k=5)
+    pred = MLFeatureTools(str(held), model).predict_statistics()
+    assert pred == 5
