@@ -36,7 +36,8 @@ def build_parser():
     p.add_argument("--k", type=int, default=4, help="feature count")
     p.add_argument("--fpath", type=str, default="data/")
     p.add_argument("--ftype", type=str, default="mat",
-                   help="mat/npy/csv/txt/folder")
+                   help="mat/npy/csv/txt/folder/npz (npz = scipy.sparse "
+                        "save_npz; runs the sparse solvers)")
     p.add_argument("--fname", type=str, default="A_")
     p.add_argument("--init", type=str, default="rand", help="rand/nnsvd")
     p.add_argument("--itr", type=int, default=5000)

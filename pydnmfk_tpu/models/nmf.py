@@ -148,6 +148,9 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     """Run the full iteration loop.  ``batched=True`` maps over a leading
     ensemble axis of A/W/H (the reference's serial perturbation loop,
     pyDNMFk.py:226-231, becomes one compiled batch)."""
+    if linalg.is_sparse(A):
+        from ..ops.sparse import densify_for_backend
+        A = densify_for_backend(A)   # TPU: scatter lowering is impractical
     sh = getattr(A, "sharding", None)
     single_shard = getattr(sh, "num_devices", 1) <= 1
     sparse_A = linalg.is_sparse(A)
@@ -281,6 +284,9 @@ class NMF:
         """Returns (W, H, recon_err) as the reference PyNMF.fit does
         (pyDNMF.py:137-182)."""
         cfg = self.cfg
+        if linalg.is_sparse(A):
+            from ..ops.sparse import densify_for_backend
+            A = densify_for_backend(A)
         sparse_A = linalg.is_sparse(A)
         if sparse_A:
             if cfg.prune:

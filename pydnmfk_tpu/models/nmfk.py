@@ -225,6 +225,9 @@ class NMFk:
         PyNMFk.fit, pyDNMFk.py:168-215)."""
         cfg = self.cfg
         os.makedirs(self.results_path, exist_ok=True)
+        if linalg.is_sparse(A):
+            from ..ops.sparse import densify_for_backend
+            A = densify_for_backend(A)   # non-CPU: dense MXU path is faster
         self._sparse = linalg.is_sparse(A)
         if self._sparse:
             if cfg.nmf.prune:

@@ -135,6 +135,46 @@ def col_sqsum(data, cols, n: int):
 
 
 # ---------------------------------------------------------------------------
+# backend dispatch: sparse-as-compute only pays on CPU
+# ---------------------------------------------------------------------------
+def densify_for_backend(A, budget_frac: float = 0.45):
+    """On non-CPU backends, convert a sparse A to dense on the host.
+
+    Measured on the v5e: XLA's TPU scatter lowering executes the
+    segment_sum products orders of magnitude slower than the MXU dense
+    path (a 1024x256 KL solve that takes seconds dense did not finish in
+    14 minutes sparse), so on TPU sparse input is treated as a *storage*
+    format and the dense solver runs.  Guarded by the device memory
+    budget: if the densified matrix cannot fit, the error tells the user
+    to run the CPU backend, where the gather/segment triplet path is
+    efficient.  A true TPU SpMM needs a Pallas kernel (docs/ROADMAP.md).
+    """
+    from .linalg import is_sparse
+    if not is_sparse(A):
+        return A
+    import jax
+    if jax.default_backend() == "cpu":
+        return A
+    from ..utils.memory import device_memory_budget
+    import numpy as np
+    m, n = A.shape
+    need = m * n * jnp.dtype(A.data.dtype).itemsize
+    budget = device_memory_budget()
+    if need > budget_frac * budget:
+        raise ValueError(
+            f"sparse A would densify to {need / 1e9:.2f} GB "
+            f"(> {budget_frac:.0%} of the {budget / 1e9:.0f} GB device "
+            "budget). The XLA TPU scatter lowering makes the sparse "
+            "triplet path impractical on TPU; run on the CPU backend "
+            "(jax.config.update('jax_platforms', 'cpu') / --cpu) where "
+            "the gather/segment path is efficient.")
+    dense = np.zeros(A.shape, A.data.dtype)
+    dense[np.asarray(A.indices[:, 0]),
+          np.asarray(A.indices[:, 1])] = np.asarray(A.data)
+    return jnp.asarray(dense)
+
+
+# ---------------------------------------------------------------------------
 # BCOO-facing wrappers
 # ---------------------------------------------------------------------------
 def _triplet(A):

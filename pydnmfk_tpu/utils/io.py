@@ -55,7 +55,11 @@ class DataReader:
         self.precision = precision
 
     def read_global(self) -> np.ndarray:
-        """Full matrix on host (single-host path)."""
+        """Full matrix on host (single-host path).  ftype='npz' loads a
+        scipy.sparse matrix (save_npz layout) as a canonical jax BCOO —
+        sparse input is a capability beyond the dense-only reference."""
+        if self.ftype == "npz":
+            return self._read_sparse()
         if self.ftype == "folder":
             # reassemble the pre-split per-rank chunks
             p_r, p_c = self.pgrid
@@ -69,6 +73,19 @@ class DataReader:
             path = os.path.join(self.fpath, self.fname + "." + self.ftype)
             data = np.asarray(_read_full(path, self.ftype, mmap=False))
         return data.astype(self.precision)
+
+    def _read_sparse(self):
+        import jax.numpy as jnp
+        from jax.experimental import sparse as jsparse
+        from scipy import sparse as sp
+        path = os.path.join(self.fpath, self.fname + ".npz")
+        M = sp.load_npz(path).tocoo()
+        M.sum_duplicates()
+        idx = np.stack([M.row, M.col], axis=1).astype(np.int32)
+        bcoo = jsparse.BCOO(
+            (jnp.asarray(M.data.astype(self.precision)), jnp.asarray(idx)),
+            shape=M.shape, unique_indices=True)
+        return bcoo.sort_indices()
 
     def read_chunk(self, rank: int) -> np.ndarray:
         """One grid block (reference data_partition, data_io.py:70-83).
@@ -99,6 +116,11 @@ class DataReader:
             return self._read_impl(ctx)
 
     def _read_impl(self, ctx):
+        if self.ftype == "npz":
+            if ctx is not None and ctx.n_devices > 1:
+                raise ValueError("sparse (.npz) input currently runs "
+                                 "single-device; use grid (1, 1)")
+            return self.read_global()
         if ctx is None or ctx.n_devices == 1:
             return self.read_global()
         if self.ftype == "folder":

@@ -172,3 +172,54 @@ def test_sparse_nmfk_rejects_unsupported(tmp_path):
     with pytest.raises(ValueError, match="dense-only"):
         NMFk(NMFkConfig(nmf=NMFConfig(k=0), seed_grid=(2, 2),
                         **base)).fit(Asp)
+
+
+def test_sparse_npz_cli_and_runner(tmp_path):
+    """ftype='npz' (scipy.sparse save_npz) drives the sparse solvers from
+    the CLI / Runner surface."""
+    import subprocess
+    import sys
+    from scipy import sparse as sp
+    from pydnmfk_tpu.runner import Runner
+
+    A, _ = _sparse_lowrank(40, 30, 3, density=0.4, seed=9)
+    sp.save_npz(tmp_path / "spdata.npz", sp.csr_matrix(A))
+
+    r = Runner(itr=150, norm="kl", method="mu", init="rand",
+               process="pyDNMF")
+    out = r.run(grid=[1, 1], fpath=str(tmp_path) + "/", ftype="npz",
+                fname="spdata", results_path=str(tmp_path / "res"), k=3)
+    assert out["W"].shape == (40, 3) and 0 < out["err"] < 0.9
+
+    code = subprocess.run(
+        [sys.executable, "-m", "pydnmfk_tpu", "--process=pyDNMF",
+         "--p_r=1", "--p_c=1", "--k=3", f"--fpath={tmp_path}/",
+         "--ftype=npz", "--fname=spdata", "--norm=fro", "--method=mu",
+         "--init=rand", "--itr=100", "--cpu",
+         f"--results_path={tmp_path}/res2"],
+        capture_output=True, text=True)
+    assert code.returncode == 0, code.stderr
+    assert "relative error" in code.stdout
+
+    with pytest.raises(ValueError, match="single-device"):
+        r.run(grid=[2, 1], fpath=str(tmp_path) + "/", ftype="npz",
+              fname="spdata", results_path=str(tmp_path / "res3"), k=3)
+
+
+def test_densify_for_backend(monkeypatch):
+    """On non-CPU backends sparse input auto-densifies (TPU scatter
+    lowering is impractically slow — measured on hardware); guarded by the
+    device memory budget with a CPU-pointing error."""
+    from pydnmfk_tpu.ops import sparse as sp_ops
+    A, Asp = _sparse_lowrank(20, 12, 2, density=0.4, seed=11)
+    # CPU backend: passthrough, stays sparse
+    assert linalg.is_sparse(sp_ops.densify_for_backend(Asp))
+    # pretend-TPU: dense round-trip
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out = sp_ops.densify_for_backend(Asp)
+    assert not linalg.is_sparse(out)
+    np.testing.assert_allclose(np.asarray(out), A, rtol=1e-6)
+    # budget guard
+    monkeypatch.setenv("PYDNMFK_HBM_BUDGET", "100")
+    with pytest.raises(ValueError, match="CPU backend"):
+        sp_ops.densify_for_backend(Asp)
