@@ -356,36 +356,27 @@ class NMF:
                 "solver carries extrapolation state across iterations)")
         every = max(10, (cfg.solve_checkpoint_every // 10) * 10)
         os.makedirs(cfg.results_path, exist_ok=True)
-        path = os.path.join(cfg.results_path, f"solve_ckpt_k{cfg.k}.npz")
         tag = repr((cfg.k, cfg.itr, cfg.norm.lower(), cfg.method.lower(),
                     cfg.seed, cfg.precision, cfg.a_precision,
                     tuple(A.shape)))
-        start = 0
-        if os.path.exists(path):
-            try:
-                with np.load(path) as d:
-                    if str(d["tag"]) == tag:
-                        W = jnp.asarray(d["W"])
-                        H = jnp.asarray(d["H"])
-                        start = int(d["i"])
-            except Exception:
-                pass                      # torn write: restart from 0
-        i = start
+        # mesh-sharded factors persist via orbax/tensorstore (each process
+        # writes only its own shards — multi-host safe); single-device via
+        # one atomic npz (utils/checkpoint.py)
+        from ..utils.checkpoint import solve_checkpointer
+        sharded = getattr(getattr(W, "sharding", None),
+                          "num_devices", 1) > 1
+        saver = solve_checkpointer(cfg.results_path, cfg.k, tag, sharded)
+        W, H, i = saver.load(W, H)
         while i < cfg.itr:
             n = min(every, cfg.itr - i)
             W, H, _ = solve(A, W, H, eps, cfg.replace(itr=n),
                             finalize=False)
             W, H = jax.block_until_ready((W, H))
             i += n
-            tmp = path + ".tmp.npz"
-            np.savez(tmp, W=np.asarray(W), H=np.asarray(H), i=i, tag=tag)
-            os.replace(tmp, path)
+            saver.save(W, H, i)
         # zero-iteration finalize pass: normalize + error exactly once
         W, H, err = solve(A, W, H, eps, cfg.replace(itr=0), finalize=True)
-        try:
-            os.remove(path)
-        except OSError:
-            pass
+        saver.cleanup()
         return W, H, err
 
     def column_err(self) -> np.ndarray:

@@ -73,3 +73,104 @@ class Checkpoint:
         if st.flag >= FLAG_SAVED:
             return st.k + step_k
         return st.k
+
+
+# ---------------------------------------------------------------------------
+# Mid-solve factor checkpointing backends (models/nmf.py
+# _solve_checkpointed): persist (W, H, iteration) between chunks of one
+# long factorization.  The reference has no recovery below whole-k
+# granularity.  Two backends behind one load/save/cleanup contract:
+#
+#   * npz — single-device factors, one atomic host file.
+#   * orbax — mesh-sharded factors saved via orbax/tensorstore WITHOUT a
+#     host gather: every process writes only the shards it owns, so the
+#     same code path covers multi-host pods (reference-world equivalent:
+#     none; mpirun jobs restart the whole k).
+#
+# Any torn/mismatched state restarts the solve from iteration 0 — the
+# checkpoint is an optimization, never a correctness dependency.
+# ---------------------------------------------------------------------------
+def solve_checkpointer(results_path: str, k: int, tag: str, sharded: bool):
+    cls = _OrbaxSolveCheckpoint if sharded else _NpzSolveCheckpoint
+    return cls(results_path, k, tag)
+
+
+class _NpzSolveCheckpoint:
+    def __init__(self, results_path: str, k: int, tag: str):
+        self.path = os.path.join(results_path, f"solve_ckpt_k{k}.npz")
+        self.tag = tag
+
+    def load(self, W, H):
+        import jax.numpy as jnp
+        import numpy as np
+        if os.path.exists(self.path):
+            try:
+                with np.load(self.path) as d:
+                    if str(d["tag"]) == self.tag:
+                        return (jnp.asarray(d["W"]), jnp.asarray(d["H"]),
+                                int(d["i"]))
+            except Exception:
+                pass                      # torn write: restart from 0
+        return W, H, 0
+
+    def save(self, W, H, i: int):
+        import numpy as np
+        tmp = self.path + ".tmp.npz"
+        np.savez(tmp, W=np.asarray(W), H=np.asarray(H), i=i, tag=self.tag)
+        os.replace(tmp, self.path)
+
+    def cleanup(self):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+
+
+class _OrbaxSolveCheckpoint:
+    def __init__(self, results_path: str, k: int, tag: str):
+        self.dir = os.path.abspath(
+            os.path.join(results_path, f"solve_ckpt_k{k}.orbax"))
+        self.tagfile = self.dir + ".tag"
+        self.tag = tag
+
+    def _ckptr(self):
+        import orbax.checkpoint as ocp
+        return ocp.PyTreeCheckpointer()
+
+    def load(self, W, H):
+        import jax
+        import jax.numpy as jnp
+        if not (os.path.isdir(self.dir) and os.path.exists(self.tagfile)):
+            return W, H, 0
+        try:
+            with open(self.tagfile) as f:
+                if f.read() != self.tag:
+                    return W, H, 0
+            import orbax.checkpoint as ocp
+            tpl = {"W": W, "H": H,
+                   "i": jnp.zeros((), jnp.int32)}
+            restore_args = jax.tree.map(
+                lambda x: ocp.ArrayRestoreArgs(sharding=x.sharding), tpl)
+            out = self._ckptr().restore(self.dir,
+                                        restore_args=restore_args)
+            return out["W"], out["H"], int(out["i"])
+        except Exception:
+            return W, H, 0               # partial/incompatible: restart
+
+    def save(self, W, H, i: int):
+        import jax.numpy as jnp
+        self._ckptr().save(self.dir,
+                           {"W": W, "H": H,
+                            "i": jnp.asarray(i, jnp.int32)}, force=True)
+        tmp = self.tagfile + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self.tag)
+        os.replace(tmp, self.tagfile)
+
+    def cleanup(self):
+        import shutil
+        shutil.rmtree(self.dir, ignore_errors=True)
+        try:
+            os.remove(self.tagfile)
+        except OSError:
+            pass

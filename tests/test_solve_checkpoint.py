@@ -83,3 +83,63 @@ def test_checkpoint_rejects_incompatible(tmp_path):
         NMF(NMFConfig(k=3, norm="fro", method="bcd", itr=50,
                       solve_checkpoint_every=10,
                       results_path=str(tmp_path))).fit(A)
+
+
+def test_sharded_orbax_checkpoint_resume(tmp_path, monkeypatch):
+    """Mesh-sharded factors checkpoint via orbax/tensorstore (no host
+    gather) and resume bit-identically after a simulated preemption."""
+    A = _data()
+    cfg = NMFConfig(k=5, norm="fro", method="mu", itr=120, init="rand",
+                    grid=(2, 2), solve_checkpoint_every=40,
+                    results_path=str(tmp_path))
+    golden_W, _, golden_e = NMF(cfg.replace(
+        results_path=str(tmp_path / "g"))).fit(A)
+
+    calls = []
+    real = nmf_mod.solve
+
+    def crashing(*a, **kw):
+        if not kw.get("finalize", True):
+            calls.append(1)
+            if len(calls) > 2:
+                raise RuntimeError("simulated preemption")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(nmf_mod, "solve", crashing)
+    with pytest.raises(RuntimeError):
+        NMF(cfg).fit(A)
+    assert os.path.isdir(tmp_path / "solve_ckpt_k5.orbax")
+    monkeypatch.setattr(nmf_mod, "solve", real)
+
+    calls2 = []
+
+    def counting(*a, **kw):
+        if not kw.get("finalize", True):
+            calls2.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(nmf_mod, "solve", counting)
+    W, H, e = NMF(cfg).fit(A)
+    assert len(calls2) == 1          # 2 of 3 chunks replayed from disk
+    np.testing.assert_allclose(np.asarray(W), np.asarray(golden_W),
+                               rtol=1e-6)
+    assert float(e) == float(golden_e)
+    # cleaned up after the completed fit
+    assert not os.path.isdir(tmp_path / "solve_ckpt_k5.orbax")
+
+
+def test_sharded_checkpoint_stale_tag_restarts(tmp_path):
+    """A checkpoint written under a different config is ignored."""
+    A = _data()
+    cfg = NMFConfig(k=5, norm="fro", method="mu", itr=80, init="rand",
+                    grid=(2, 2), solve_checkpoint_every=40,
+                    results_path=str(tmp_path))
+    golden_W, _, golden_e = NMF(cfg.replace(
+        results_path=str(tmp_path / "g"))).fit(A)
+    # leave a checkpoint from a DIFFERENT itr budget behind
+    NMF(cfg.replace(itr=40)).fit(A)   # completes, cleans up
+    tagfile = tmp_path / "solve_ckpt_k5.orbax.tag"
+    assert not tagfile.exists()
+    W, H, e = NMF(cfg).fit(A)
+    np.testing.assert_allclose(np.asarray(W), np.asarray(golden_W),
+                               rtol=1e-6)
