@@ -127,6 +127,20 @@ def main():
             rows.append(make_row(f"kl_mu_fused_bf16A_{m}x{n}_k{k}", dt,
                                  m, n, k, ITERS, PEAK_BF16, flop_factor=8.0))
 
+        # ---- uint8-A fused one-pass MU (quantized storage: the A read
+        # is 1/4 the f32 bytes; exact for uint8-valued data like swim).
+        # Placed after the bf16 rows so Ab can be dropped first — HBM
+        # holds A (8.8 GB) + Aq (2.2 GB) but never a third big buffer ----
+        if on_tpu:
+            del Ab
+            from pydnmfk_tpu.ops.linalg import quantize_uint8
+            Aq, _ = quantize_uint8(A)
+            cfg = base.replace(a_precision="uint8")
+            dt = time_solve(Aq, W0, H0, cfg)
+            rows.append(make_row(f"fro_mu_uint8A_fused_{m}x{n}_k{k}", dt,
+                                 m, n, k, ITERS, PEAK_BF16))
+            del Aq
+
         # ---- MFU rows: compute-bound shapes where the MXU can be fed.
         # 100 iterations per solve so per-call dispatch latency (the TPU
         # relay round trip is ~10 ms) cannot masquerade as low MFU ----

@@ -18,6 +18,12 @@ _PRECISIONS = {
     "bfloat16": "bfloat16",
     "float32": np.float32,
     "float64": np.float64,
+    # A-storage only (a_precision): global-scale uint8 quantization of the
+    # nonnegative A (ops/linalg.py::quantize_uint8).  W/H and accumulation
+    # stay at `precision`; the solve factorizes Q = round(A/s) and the
+    # returned H carries the scale s.  Quarters the dominant HBM traffic
+    # vs f32 (halves vs bf16) through the fused one-pass kernel.
+    "uint8": np.uint8,
 }
 
 

@@ -188,7 +188,8 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                      and not batched and not sparse_A
                      and cfg.method.lower() == "mu"
                      and cfg.norm.lower() == "fro"
-                     and A.dtype == jnp.bfloat16)
+                     and (A.dtype == jnp.bfloat16
+                          or jnp.issubdtype(A.dtype, jnp.integer)))
     elif use_fused and (not single_shard or sparse_A):
         use_fused = False
     # KL memory safety: the direct path materializes the m x n ratio U —
@@ -298,7 +299,10 @@ class NMF:
             if self.ctx.n_devices > 1:
                 raise ValueError("sparse A currently runs single-device")
         else:
-            A = jnp.asarray(A, dtype=cfg.a_dtype)
+            # integer a_precision = quantized storage: keep A at the work
+            # dtype through init/prune/pad, quantize just before the solve
+            quant = jnp.issubdtype(jnp.dtype(cfg.a_dtype), jnp.integer)
+            A = jnp.asarray(A, dtype=cfg.dtype if quant else cfg.a_dtype)
         with timing.timed("init_factors"):
             if factors is not None:
                 W = jnp.asarray(factors[0], dtype=cfg.dtype)
@@ -309,10 +313,15 @@ class NMF:
         if cfg.prune:
             A, W, H, self.prune_state = prune_all(A, W, H)
 
+        a_scale = None
         if sparse_A:
             m_sol, n_sol = A.shape
         else:
             A, W, H, (m_sol, n_sol) = self._mesh_pad(A, W, H)
+            if quant:
+                # solve on Q = round(A/s); errors are scale-invariant and
+                # the returned H carries s (linalg.quantize_uint8)
+                A, a_scale = linalg.quantize_uint8(A)
             A, W, H = self._shard(A, W, H)
 
         eps = jnp.asarray(cfg.eps, dtype=cfg.dtype)
@@ -330,6 +339,10 @@ class NMF:
         if W.shape[0] != m_sol or H.shape[1] != n_sol:
             W = W[:m_sol]
             H = H[:, :n_sol]
+        if a_scale is not None:
+            # Q-scale factors stay in self._W/_H for column_err (which
+            # compares against the stored Q); the returned H is A-scale
+            H = H * a_scale.astype(H.dtype)
         if cfg.prune:
             W, H = unprune_factors(W, H, self.prune_state)
         if cfg.save_factors:

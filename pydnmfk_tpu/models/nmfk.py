@@ -225,6 +225,12 @@ class NMFk:
         PyNMFk.fit, pyDNMFk.py:168-215)."""
         cfg = self.cfg
         os.makedirs(self.results_path, exist_ok=True)
+        if jnp.issubdtype(jnp.dtype(cfg.nmf.a_dtype), jnp.integer):
+            raise ValueError(
+                "quantized (uint8) A storage is an NMF-level optimization; "
+                "the NMFk ensemble perturbs A multiplicatively and would "
+                "re-round every member — use a_precision='bfloat16' for "
+                "the ensemble")
         if linalg.is_sparse(A):
             from ..ops.sparse import densify_for_backend
             A = densify_for_backend(A)   # non-CPU: dense MXU path is faster

@@ -45,10 +45,11 @@ def _fused_kl_kernel(a_ref, w_ref, h_ref, hrs_ref, eps_ref,
                      w_out_ref, wtu_ref):
     i = pl.program_id(0)
     eps = eps_ref[0, 0]
-    # feed the MXU in A's storage dtype (the standard TPU mixed-precision
-    # recipe, ops/linalg.py::matmul): bf16-A runs single-pass bf16 dots
-    # with f32 accumulation; f32-A keeps everything f32
-    nd = a_ref.dtype
+    # feed the MXU in the compute dtype = H block's dtype (the standard
+    # TPU mixed-precision recipe, ops/linalg.py::matmul): bf16-A runs
+    # single-pass bf16 dots with f32 accumulation; f32-A keeps everything
+    # f32; integer-quantized A computes in bf16 (exact for 8-bit values)
+    nd = h_ref.dtype
     a = a_ref[:].astype(jnp.float32)
     w = w_ref[:].astype(jnp.float32)
     h = h_ref[:]                                          # already nd
@@ -145,7 +146,9 @@ def fused_mu_kl_step(A, W, H, eps, W_update=True, tm=None):
     if pad:
         A = jnp.pad(A, ((0, pad), (0, 0)))
         W = jnp.pad(W, ((0, pad), (0, 0)))
-    H_k = H.astype(A.dtype) if H.dtype != A.dtype else H
+    cd = (jnp.bfloat16 if jnp.issubdtype(A.dtype, jnp.integer)
+          else A.dtype)
+    H_k = H.astype(cd) if H.dtype != cd else H
     W_new, WTU = _fused_kl_pass(A, W, H_k, hrs, eps, tm)
     if pad:
         W_new = W_new[:m]

@@ -48,7 +48,14 @@ from . import linalg
 def _fused_kernel(a_ref, w_ref, h_ref, hht_ref, eps_ref,
                   w_out_ref, wta_ref, wtw_ref):
     i = pl.program_id(0)
+    # compute dtype = H block's dtype (the caller sets it to A's storage
+    # dtype, or bf16 for integer-quantized A — uint8 -> bf16 is exact)
+    cd = h_ref.dtype
     a = a_ref[:]
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        # mosaic lacks unsigned->float casts; route uint8 -> int32 -> f32
+        a = a.astype(jnp.int32).astype(jnp.float32)
+    a = a.astype(cd)
     w = w_ref[:].astype(jnp.float32)
     h = h_ref[:]
 
@@ -59,10 +66,10 @@ def _fused_kernel(a_ref, w_ref, h_ref, hht_ref, eps_ref,
     w_new = w * aht / (denom + eps_ref[0, 0])            # (tm, k)
     w_out_ref[:] = w_new.astype(w_out_ref.dtype)
 
-    # feed the MXU in A's dtype (for bf16-A mixed precision this matches
-    # the XLA path's matmul_WTA, which rounds W' to bf16 once, on-chip)
+    # feed the MXU in the compute dtype (for bf16-A mixed precision this
+    # matches the XLA path's matmul_WTA, which rounds W' to bf16 on-chip)
     wta_part = jax.lax.dot_general(
-        w_new.astype(a_ref.dtype), a,
+        w_new.astype(cd), a,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (k, n)
     wtw_part = jnp.dot(w_new.T, w_new,
@@ -154,9 +161,12 @@ def fused_mu_fro_step(A, W, H, eps, tm=None):
     if pad:
         A = jnp.pad(A, ((0, pad), (0, 0)))
         W = jnp.pad(W, ((0, pad), (0, 0)))
-    # mixed precision: the in-kernel A H^T rounds H to A's storage dtype
-    # once (same recipe as linalg.matmul's mixed path)
-    H_k = H.astype(A.dtype) if H.dtype != A.dtype else H
+    # mixed precision: the in-kernel A H^T rounds H to the compute dtype
+    # once (same recipe as linalg.matmul's mixed path); integer-quantized
+    # A computes in bf16 (exact for 8-bit values)
+    cd = (jnp.bfloat16 if jnp.issubdtype(A.dtype, jnp.integer)
+          else A.dtype)
+    H_k = H.astype(cd) if H.dtype != cd else H
     W_new, WTA, WTW = _fused_w_pass(A, W, H_k, HHT, eps, tm)
     if pad:
         W_new = W_new[:m]

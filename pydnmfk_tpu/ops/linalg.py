@@ -56,6 +56,17 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
         # sparse-dense product (BCOO __matmul__); data is stored at the
         # working dtype, accumulation follows the sparse rules
         return a @ b
+    if (jnp.issubdtype(a.dtype, jnp.integer)
+            or jnp.issubdtype(b.dtype, jnp.integer)):
+        # integer-stored operand (uint8-quantized A): feed the MXU in bf16
+        # — exact for 8-bit integers (bf16 represents 0..256 exactly) —
+        # accumulate f32, return the float side's dtype
+        wide = a.dtype if jnp.issubdtype(b.dtype, jnp.integer) else b.dtype
+        if jnp.issubdtype(wide, jnp.integer):
+            wide = jnp.float32
+        out = jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return out.astype(wide)
     if a.dtype != b.dtype:
         a_bits = jnp.finfo(a.dtype).bits
         b_bits = jnp.finfo(b.dtype).bits
@@ -199,6 +210,48 @@ def kl_divergence(A: jax.Array, W: jax.Array, H: jax.Array,
     Aa = A.astype(_acc_dtype(A))
     return jnp.sum(jnp.where(Aa > 0, Aa * jnp.log((Aa + eps) / WH), 0.0)
                    - Aa + WH)
+
+
+def quantize_uint8(A: jax.Array):
+    """Global-scale uint8 quantization of a nonnegative matrix:
+    Q = round(A / s), s = max(A)/255.  Returns (Q, s).
+
+    The NMF of Q is the NMF of A with the scale folded into H (relative
+    and per-column errors are scale-invariant); uint8-range inputs whose
+    max is 255 — e.g. the reference's own swim.mat (uint8) — quantize
+    EXACTLY (s = 1).  Worst-case resolution for general data:
+    max(A)/510 per entry.
+
+    Row-chunked: at flagship scale a full-size f32 `A/s` temp (8.8 GB)
+    next to A itself would exceed HBM; only a chunk-row slab ever exists."""
+    scale = jnp.max(A).astype(jnp.float32) / 255.0
+    scale = jnp.where(scale > 0, scale, 1.0)
+
+    def q_block(a):
+        return jnp.clip(jnp.round(a.astype(jnp.float32) / scale),
+                        0, 255).astype(jnp.uint8)
+
+    m, n = A.shape[-2], A.shape[-1]
+    chunk = error_chunk_rows(m, n)
+    if not chunk:
+        return q_block(A), scale
+    n_full = m // chunk
+    m1 = n_full * chunk
+
+    @jax.jit
+    def run(A):
+        def body(i, q):
+            a = lax.dynamic_slice_in_dim(A, i * chunk, chunk, -2)
+            return lax.dynamic_update_slice_in_dim(q, q_block(a),
+                                                   i * chunk, -2)
+
+        q = jnp.zeros(A.shape, jnp.uint8)
+        q = lax.fori_loop(0, n_full, body, q)
+        if m1 < m:
+            q = q.at[..., m1:, :].set(q_block(A[..., m1:, :]))
+        return q
+
+    return run(A), scale
 
 
 def normalize_features(W: jax.Array, H: jax.Array, eps: float):
