@@ -296,8 +296,6 @@ class NMF:
             if cfg.init == "nnsvd":
                 raise ValueError("nnsvd init requires dense A; use "
                                  "init='rand' with sparse matrices")
-            if self.ctx.n_devices > 1:
-                raise ValueError("sparse A currently runs single-device")
         else:
             # integer a_precision = quantized storage: keep A at the work
             # dtype through init/prune/pad, quantize just before the solve
@@ -316,6 +314,15 @@ class NMF:
         a_scale = None
         if sparse_A:
             m_sol, n_sol = A.shape
+            if self.ctx.n_devices > 1:
+                # 1D-row sharded triplet (ops/sparse.py): W row-sharded,
+                # H replicated — the reference's p_c==1 topology
+                from ..ops.sparse import shard_sparse_rows
+                A, m_pad = shard_sparse_rows(A, self.ctx)
+                if m_pad != m_sol:
+                    W = jnp.pad(W, ((0, m_pad - m_sol), (0, 0)))
+                W = jax.device_put(W, self.ctx.sharding_W)
+                H = jax.device_put(H, self.ctx.sharding_H)
         else:
             A, W, H, (m_sol, n_sol) = self._mesh_pad(A, W, H)
             if quant:

@@ -57,12 +57,19 @@ def mu_kl_step(A, W, H, eps, W_update=True, chunk=0, use_pallas=False,
     if linalg.is_sparse(A):
         # triplet path: U shares A's sparsity pattern exactly (0/x == 0),
         # so both products touch only nnz entries (ops/sparse.py); the
-        # chunk/Pallas/mesh machinery is dense-only and unused here
-        from ..ops.sparse import (kl_uht_sparse, kl_wtu_sparse,
-                                  nnz_chunk_size)
-        nc = nnz_chunk_size(A.nse, W.shape[1])
-        uht = lambda a, w, h: kl_uht_sparse(a, w, h, eps, nc)
-        wtu = lambda a, w, h: kl_wtu_sparse(a, w, h, eps, nc)
+        # chunk/Pallas/mesh machinery is dense-only and unused here.
+        # Row-sharded triplets run per block under shard_map (the dense
+        # 1D topology's collective contract).
+        from ..ops.sparse import (RowShardedSparse, kl_uht_sparse,
+                                  kl_wtu_sparse, nnz_chunk_size,
+                                  rs_kl_uht, rs_kl_wtu)
+        if isinstance(A, RowShardedSparse):
+            uht = lambda a, w, h: rs_kl_uht(a, w, h, eps)
+            wtu = lambda a, w, h: rs_kl_wtu(a, w, h, eps)
+        else:
+            nc = nnz_chunk_size(A.nse, W.shape[1])
+            uht = lambda a, w, h: kl_uht_sparse(a, w, h, eps, nc)
+            wtu = lambda a, w, h: kl_wtu_sparse(a, w, h, eps, nc)
     elif mesh is not None:
         from ..ops.kl import kl_uht_sharded, kl_wtu_sharded
         uht = lambda a, w, h: kl_uht_sharded(a, w, h, eps, mesh, chunk,

@@ -223,3 +223,59 @@ def test_densify_for_backend(monkeypatch):
     monkeypatch.setenv("PYDNMFK_HBM_BUDGET", "100")
     with pytest.raises(ValueError, match="CPU backend"):
         sp_ops.densify_for_backend(Asp)
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded sparse (1D row mesh): per-block shard_map products with the
+# dense 1D topology's psum contract
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("grid,norm,method", [
+    ((4, 1), "fro", "mu"), ((4, 1), "kl", "mu"), ((2, 1), "fro", "hals")])
+def test_sharded_sparse_matches_single_device(tmp_path, grid, norm, method):
+    A, Asp = _sparse_lowrank(46, 36, 3, density=0.3, seed=12)  # uneven m
+    cfg = NMFConfig(k=3, norm=norm, method=method, itr=60, init="rand",
+                    seed=7, results_path=str(tmp_path / "a"))
+    m1 = NMF(cfg)
+    W1, H1, e1 = m1.fit(Asp)
+    cfg2 = cfg.replace(grid=grid, results_path=str(tmp_path / "b"))
+    m2 = NMF(cfg2)
+    W2, H2, e2 = m2.fit(Asp)
+    np.testing.assert_allclose(np.asarray(W2), np.asarray(W1), rtol=2e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(e2), float(e1), rtol=1e-3)
+    np.testing.assert_allclose(m2.column_err(), m1.column_err(),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_sharded_sparse_products_match():
+    from pydnmfk_tpu.ops.sparse import (rs_a_ht, rs_kl_uht, rs_kl_wtu,
+                                        rs_wt_a, shard_sparse_rows)
+    from pydnmfk_tpu.ops.sparse import a_ht_bcoo, wt_a_bcoo
+    from pydnmfk_tpu.ops.sparse import kl_uht_sparse, kl_wtu_sparse
+    from pydnmfk_tpu.parallel.mesh import grid_context
+    ctx = grid_context(4, 1)
+    A, Asp = _sparse_lowrank(48, 20, 3, density=0.3, seed=13)
+    Ars, m_pad = shard_sparse_rows(Asp, ctx)
+    assert m_pad == 48
+    rng = np.random.default_rng(14)
+    W = jnp.asarray(rng.random((48, 4)), jnp.float32)
+    H = jnp.asarray(rng.random((4, 20)), jnp.float32)
+    eps = jnp.float32(1e-7)
+    np.testing.assert_allclose(np.asarray(rs_a_ht(Ars, H)),
+                               np.asarray(a_ht_bcoo(Asp, H)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rs_wt_a(Ars, W)),
+                               np.asarray(wt_a_bcoo(Asp, W)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rs_kl_uht(Ars, W, H, eps)),
+                               np.asarray(kl_uht_sparse(Asp, W, H, eps)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rs_kl_wtu(Ars, W, H, eps)),
+                               np.asarray(kl_wtu_sparse(Asp, W, H, eps)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_sparse_rejects_2d_grid(tmp_path):
+    _, Asp = _sparse_lowrank(16, 12, 2)
+    cfg = NMFConfig(k=2, norm="fro", method="mu", itr=5, grid=(2, 2),
+                    results_path=str(tmp_path))
+    with pytest.raises(ValueError, match="1D row"):
+        NMF(cfg).fit(Asp)
