@@ -315,12 +315,14 @@ class NMF:
         if sparse_A:
             m_sol, n_sol = A.shape
             if self.ctx.n_devices > 1:
-                # 1D-row sharded triplet (ops/sparse.py): W row-sharded,
-                # H replicated — the reference's p_c==1 topology
-                from ..ops.sparse import shard_sparse_rows
-                A, m_pad = shard_sparse_rows(A, self.ctx)
+                # grid-sharded triplet (ops/sparse.py): W row-sharded,
+                # H col-sharded — the reference's 1D/2D topologies
+                from ..ops.sparse import shard_sparse_grid
+                A, (m_pad, n_pad) = shard_sparse_grid(A, self.ctx)
                 if m_pad != m_sol:
                     W = jnp.pad(W, ((0, m_pad - m_sol), (0, 0)))
+                if n_pad != n_sol:
+                    H = jnp.pad(H, ((0, 0), (0, n_pad - n_sol)))
                 W = jax.device_put(W, self.ctx.sharding_W)
                 H = jax.device_put(H, self.ctx.sharding_H)
         else:

@@ -135,34 +135,36 @@ def col_sqsum(data, cols, n: int):
 
 
 # ---------------------------------------------------------------------------
-# Row-block-sharded triplets: multi-device sparse (1D row mesh).
+# Grid-block-sharded triplets: multi-device sparse on the (p_r, p_c) mesh.
 #
-# The reference's 1D row topology (p_c == 1: A and W row-split, H
-# replicated — pyDNMF.py:83-87) applied to the triplet format: device d
-# holds the nnz entries of row-block d with LOCAL row indices, blocks
-# nnz-padded to equal length with zero-data entries (zero data contributes
-# nothing to any product, so padding is exact).  Products run per block
-# under shard_map; W^T A and the column reductions psum over 'r' — the
-# same collective contract as the dense 1D path.
+# The reference's topologies (pyDNMF.py:83-87) applied to the triplet
+# format: device (i, j) holds the nnz entries of block (i, j) with LOCAL
+# row/col indices, blocks nnz-padded to equal length with zero-data
+# entries (zero data contributes nothing to any product, so padding is
+# exact).  W is row-sharded P('r', None), H col-sharded P(None, 'c');
+# products run per block under shard_map with the dense paths' collective
+# contract: A Hᵀ partials psum over 'c', Wᵀ A / Wᵀ U / column reductions
+# psum over 'r' (reference 1D dist_nmf.py:729-751; 2D ATW/AH_glob
+# :144-205).  p_c == 1 recovers the 1D row topology.
 # ---------------------------------------------------------------------------
 @jax.tree_util.register_pytree_node_class
-class RowShardedSparse:
-    """(data, lrows, cols) each (p * e_max,) sharded P('r'); `shape` is the
-    padded global (m, n) with m == p * block_rows."""
+class GridShardedSparse:
+    """(data, lrows, lcols) each (p_r, p_c, e_max) sharded P('r','c',∅);
+    `shape` is the padded global (m, n), block = (m/p_r, n/p_c)."""
 
     _pydnmfk_sparse = True            # recognized by linalg.is_sparse
 
-    def __init__(self, data, lrows, cols, shape, block_rows, mesh):
+    def __init__(self, data, lrows, lcols, shape, block, mesh):
         self.data = data
         self.lrows = lrows
-        self.cols = cols
+        self.lcols = lcols
         self.shape = tuple(shape)
-        self.block_rows = int(block_rows)
+        self.block = tuple(block)
         self.mesh = mesh
 
     def tree_flatten(self):
-        return ((self.data, self.lrows, self.cols),
-                (self.shape, self.block_rows, self.mesh))
+        return ((self.data, self.lrows, self.lcols),
+                (self.shape, self.block, self.mesh))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -170,139 +172,165 @@ class RowShardedSparse:
 
     @property
     def nse(self):
-        return self.data.shape[0]
+        return self.data.size
 
     @property
     def dtype(self):
         return self.data.dtype
 
+    @property
+    def _e_max(self):
+        return self.data.shape[-1]
 
-def shard_sparse_rows(A, ctx):
-    """BCOO -> RowShardedSparse on ctx's (p, 1) mesh.  Returns
-    (sharded, m_pad) — rows are zero-padded to tile evenly; slice factor
-    rows back with [:m] at the API boundary (models/nmf.py does)."""
+
+def shard_sparse_grid(A, ctx):
+    """BCOO -> GridShardedSparse on ctx's (p_r, p_c) mesh.  Returns
+    (sharded, (m_pad, n_pad)) — dims zero-padded to tile evenly; slice
+    factors back at the API boundary (models/nmf.py does)."""
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..parallel.mesh import ROW_AXIS
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
 
     p_r, p_c = ctx.shape
-    if p_c != 1 or ctx.p_e != 1:
-        raise ValueError(
-            "sharded sparse supports the 1D row topology (p_c == 1, "
-            "p_e == 1); got grid " + str(ctx.shape))
+    if ctx.p_e != 1:
+        raise ValueError("sharded sparse requires p_e == 1")
     m, n = A.shape
     m_pad = -(-m // p_r) * p_r
-    block = m_pad // p_r
+    n_pad = -(-n // p_c) * p_c
+    br, bc = m_pad // p_r, n_pad // p_c
     rows = np.asarray(A.indices[:, 0])
     cols = np.asarray(A.indices[:, 1])
     data = np.asarray(A.data)
-    blk = rows // block
-    counts = np.bincount(blk, minlength=p_r)
+    blk = (rows // br) * p_c + (cols // bc)
+    counts = np.bincount(blk, minlength=p_r * p_c)
     e_max = max(int(counts.max()), 1)
-    d_p = np.zeros((p_r, e_max), data.dtype)
-    r_p = np.zeros((p_r, e_max), np.int32)
-    c_p = np.zeros((p_r, e_max), np.int32)
-    for b in range(p_r):
-        sel = blk == b
-        cnt = int(counts[b])
-        d_p[b, :cnt] = data[sel]
-        r_p[b, :cnt] = rows[sel] - b * block
-        c_p[b, :cnt] = cols[sel]
-    sh = NamedSharding(ctx.mesh, P(ROW_AXIS))
-    put = lambda x: jax.device_put(jnp.asarray(x.reshape(-1)), sh)
-    return RowShardedSparse(put(d_p), put(r_p), put(c_p),
-                            (m_pad, n), block, ctx.mesh), m_pad
+    d_p = np.zeros((p_r, p_c, e_max), data.dtype)
+    r_p = np.zeros((p_r, p_c, e_max), np.int32)
+    c_p = np.zeros((p_r, p_c, e_max), np.int32)
+    for i in range(p_r):
+        for j in range(p_c):
+            sel = blk == i * p_c + j
+            cnt = int(counts[i * p_c + j])
+            d_p[i, j, :cnt] = data[sel]
+            r_p[i, j, :cnt] = rows[sel] - i * br
+            c_p[i, j, :cnt] = cols[sel] - j * bc
+    sh = NamedSharding(ctx.mesh, P(ROW_AXIS, COL_AXIS, None))
+    put = lambda x: jax.device_put(jnp.asarray(x), sh)
+    return GridShardedSparse(put(d_p), put(r_p), put(c_p),
+                             (m_pad, n_pad), (br, bc),
+                             ctx.mesh), (m_pad, n_pad)
 
 
-def _rs_shard_map(fn, A, in_extra, out_spec):
+def _gs_shard_map(fn, A, in_extra, out_spec):
+    """shard_map over the grid; `fn` receives flattened local triplets."""
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
     except ImportError:                      # older jax
         from jax.experimental.shard_map import shard_map
-    from ..parallel.mesh import ROW_AXIS
-    specs = (P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)) + tuple(
-        s for _, s in in_extra)
-    args = (A.data, A.lrows, A.cols) + tuple(a for a, _ in in_extra)
-    return shard_map(fn, mesh=A.mesh, in_specs=specs, out_specs=out_spec,
-                     check_vma=False)(*args)
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    tri = P(ROW_AXIS, COL_AXIS, None)
+    specs = (tri, tri, tri) + tuple(s for _, s in in_extra)
+    args = (A.data, A.lrows, A.lcols) + tuple(a for a, _ in in_extra)
+
+    def wrapped(d, r, c, *rest):
+        return fn(d.reshape(-1), r.reshape(-1), c.reshape(-1), *rest)
+
+    return shard_map(wrapped, mesh=A.mesh, in_specs=specs,
+                     out_specs=out_spec, check_vma=False)(*args)
+
+
+def _gs_chunk(A, k):
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    p = A.mesh.shape[ROW_AXIS] * A.mesh.shape[COL_AXIS]
+    return nnz_chunk_size(A.nse // p, k)
 
 
 def rs_a_ht(A, H):
-    """A @ H^T -> (m, k) sharded P('r', None); purely local per block."""
+    """A @ H^T -> (m, k) sharded P('r', None); block partials psum over
+    'c' (reference 2D AH_glob contract, dist_nmf.py:174-205)."""
+    from jax import lax
     from jax.sharding import PartitionSpec as P
-    from ..parallel.mesh import ROW_AXIS
-    block = A.block_rows
-    chunk = nnz_chunk_size(A.nse // A.mesh.shape[ROW_AXIS], H.shape[0])
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    br = A.block[0]
+    chunk = _gs_chunk(A, H.shape[0])
 
     def local(d, r, c, h):
-        return a_ht(d, r, c, h, block, chunk).astype(
+        part = a_ht(d, r, c, h, br, chunk)
+        return lax.psum(part, COL_AXIS).astype(
             jnp.result_type(d.dtype, h.dtype))
 
-    return _rs_shard_map(local, A, [(H, P(None, None))], P(ROW_AXIS, None))
+    return _gs_shard_map(local, A, [(H, P(None, COL_AXIS))],
+                         P(ROW_AXIS, None))
 
 
 def rs_wt_a(A, W):
-    """W^T A -> (k, n) replicated; local partials psum over 'r' (the dense
-    1D path's allreduce, reference dist_nmf.py:729-751)."""
+    """W^T A -> (k, n) sharded P(∅, 'c'); block partials psum over 'r'
+    (reference ATW_glob contract, dist_nmf.py:144-172)."""
     from jax import lax
     from jax.sharding import PartitionSpec as P
-    from ..parallel.mesh import ROW_AXIS
-    n = A.shape[1]
-    chunk = nnz_chunk_size(A.nse // A.mesh.shape[ROW_AXIS], W.shape[1])
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    bc = A.block[1]
+    chunk = _gs_chunk(A, W.shape[1])
 
     def local(d, r, c, w):
-        part = wt_a(d, r, c, w, n, chunk)
+        part = wt_a(d, r, c, w, bc, chunk)
         return lax.psum(part, ROW_AXIS).astype(
             jnp.result_type(d.dtype, w.dtype))
 
-    return _rs_shard_map(local, A, [(W, P(ROW_AXIS, None))], P(None, None))
+    return _gs_shard_map(local, A, [(W, P(ROW_AXIS, None))],
+                         P(None, COL_AXIS))
 
 
 def rs_kl_uht(A, W, H, eps):
+    from jax import lax
     from jax.sharding import PartitionSpec as P
-    from ..parallel.mesh import ROW_AXIS
-    block = A.block_rows
-    chunk = nnz_chunk_size(A.nse // A.mesh.shape[ROW_AXIS], W.shape[1])
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    br = A.block[0]
+    chunk = _gs_chunk(A, W.shape[1])
 
     def local(d, r, c, w, h):
         wh = sddmm(w, h, r, c, chunk)
         u = d.astype(wh.dtype) / (wh + eps)
-        return a_ht(u, r, c, h, block, chunk).astype(
+        part = a_ht(u, r, c, h, br, chunk)
+        return lax.psum(part, COL_AXIS).astype(
             jnp.result_type(d.dtype, w.dtype))
 
-    return _rs_shard_map(local, A, [(W, P(ROW_AXIS, None)),
-                                    (H, P(None, None))], P(ROW_AXIS, None))
+    return _gs_shard_map(local, A, [(W, P(ROW_AXIS, None)),
+                                    (H, P(None, COL_AXIS))],
+                         P(ROW_AXIS, None))
 
 
 def rs_kl_wtu(A, W, H, eps):
     from jax import lax
     from jax.sharding import PartitionSpec as P
-    from ..parallel.mesh import ROW_AXIS
-    n = A.shape[1]
-    chunk = nnz_chunk_size(A.nse // A.mesh.shape[ROW_AXIS], W.shape[1])
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    bc = A.block[1]
+    chunk = _gs_chunk(A, W.shape[1])
 
     def local(d, r, c, w, h):
         wh = sddmm(w, h, r, c, chunk)
         u = d.astype(wh.dtype) / (wh + eps)
-        part = wt_a(u, r, c, w, n, chunk)
+        part = wt_a(u, r, c, w, bc, chunk)
         return lax.psum(part, ROW_AXIS).astype(
             jnp.result_type(d.dtype, w.dtype))
 
-    return _rs_shard_map(local, A, [(W, P(ROW_AXIS, None)),
-                                    (H, P(None, None))], P(None, None))
+    return _gs_shard_map(local, A, [(W, P(ROW_AXIS, None)),
+                                    (H, P(None, COL_AXIS))],
+                         P(None, COL_AXIS))
 
 
 def rs_col_sqsum(A, n: int):
-    """Per-column sum of squared values -> (n,) replicated."""
+    """Per-column sum of squared values -> (n,) sharded P('c')."""
     from jax import lax
     from jax.sharding import PartitionSpec as P
-    from ..parallel.mesh import ROW_AXIS
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    bc = A.block[1]
 
     def local(d, r, c):
-        return lax.psum(col_sqsum(d, c, n), ROW_AXIS)
+        return lax.psum(col_sqsum(d, c, bc), ROW_AXIS)
 
-    return _rs_shard_map(local, A, [], P(None))
+    return _gs_shard_map(local, A, [], P(COL_AXIS))
 
 
 # ---------------------------------------------------------------------------
@@ -321,7 +349,7 @@ def densify_for_backend(A, budget_frac: float = 0.45):
     efficient.  A true TPU SpMM needs a Pallas kernel (docs/ROADMAP.md).
     """
     from .linalg import is_sparse
-    if not is_sparse(A) or isinstance(A, RowShardedSparse):
+    if not is_sparse(A) or isinstance(A, GridShardedSparse):
         return A                      # already committed to the triplet path
     import jax
     if jax.default_backend() == "cpu":

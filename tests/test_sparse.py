@@ -249,14 +249,14 @@ def test_sharded_sparse_matches_single_device(tmp_path, grid, norm, method):
 
 def test_sharded_sparse_products_match():
     from pydnmfk_tpu.ops.sparse import (rs_a_ht, rs_kl_uht, rs_kl_wtu,
-                                        rs_wt_a, shard_sparse_rows)
+                                        rs_wt_a, shard_sparse_grid)
     from pydnmfk_tpu.ops.sparse import a_ht_bcoo, wt_a_bcoo
     from pydnmfk_tpu.ops.sparse import kl_uht_sparse, kl_wtu_sparse
     from pydnmfk_tpu.parallel.mesh import grid_context
     ctx = grid_context(4, 1)
     A, Asp = _sparse_lowrank(48, 20, 3, density=0.3, seed=13)
-    Ars, m_pad = shard_sparse_rows(Asp, ctx)
-    assert m_pad == 48
+    Ars, (m_pad, n_pad) = shard_sparse_grid(Asp, ctx)
+    assert (m_pad, n_pad) == (48, 20)
     rng = np.random.default_rng(14)
     W = jnp.asarray(rng.random((48, 4)), jnp.float32)
     H = jnp.asarray(rng.random((4, 20)), jnp.float32)
@@ -273,9 +273,20 @@ def test_sharded_sparse_products_match():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_sharded_sparse_rejects_2d_grid(tmp_path):
-    _, Asp = _sparse_lowrank(16, 12, 2)
-    cfg = NMFConfig(k=2, norm="fro", method="mu", itr=5, grid=(2, 2),
-                    results_path=str(tmp_path))
-    with pytest.raises(ValueError, match="1D row"):
-        NMF(cfg).fit(Asp)
+def test_sharded_sparse_2d_grid_matches_single_device(tmp_path):
+    """The 2D SUMMA-style topology on sparse triplets: uneven m AND n,
+    (2, 2) and (4, 2) grids."""
+    A, Asp = _sparse_lowrank(46, 35, 3, density=0.3, seed=15)
+    cfg = NMFConfig(k=3, norm="kl", method="mu", itr=60, init="rand",
+                    seed=9, results_path=str(tmp_path / "a"))
+    m1 = NMF(cfg)
+    W1, H1, e1 = m1.fit(Asp)
+    for grid in ((2, 2), (4, 2)):
+        m2 = NMF(cfg.replace(grid=grid,
+                             results_path=str(tmp_path / f"g{grid[0]}")))
+        W2, H2, e2 = m2.fit(Asp)
+        np.testing.assert_allclose(np.asarray(W2), np.asarray(W1),
+                                   rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(float(e2), float(e1), rtol=1e-3)
+        np.testing.assert_allclose(m2.column_err(), m1.column_err(),
+                                   rtol=2e-3, atol=1e-5)
