@@ -222,11 +222,14 @@ def build_training_windows(app_datas: Sequence[Dict],
             raise ValueError(
                 f"sweep over {ks.shape[0]} k values is shorter than the "
                 f"{ML_WINDOW + 1} needed for one window")
+        # label = INDEX offset of the true k inside the window (the voting
+        # scheme consumes index offsets, not k-value differences — they
+        # coincide only for step_k == 1 sweeps)
+        kt_idx = int(np.searchsorted(ks, kt))
         for i in range(npreds):
             Xs.append(np.concatenate([np.asarray(app[p])[i:i + ML_WINDOW]
                                       for p in property_list]))
-            off = int(np.clip(kt - ks[i], 0, ML_WINDOW - 1))
-            ys.append(off)
+            ys.append(int(np.clip(kt_idx - i, 0, ML_WINDOW - 1)))
     return np.asarray(Xs, np.float64), np.asarray(ys, np.int64)
 
 

@@ -189,7 +189,8 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                      and cfg.method.lower() == "mu"
                      and cfg.norm.lower() == "fro"
                      and (A.dtype == jnp.bfloat16
-                          or jnp.issubdtype(A.dtype, jnp.integer)))
+                          or (jnp.issubdtype(A.dtype, jnp.integer)
+                              and jnp.dtype(A.dtype).itemsize == 1)))
     elif use_fused and (not single_shard or sparse_A):
         use_fused = False
     # KL memory safety: the direct path materializes the m x n ratio U —
@@ -296,6 +297,11 @@ class NMF:
             if cfg.init == "nnsvd":
                 raise ValueError("nnsvd init requires dense A; use "
                                  "init='rand' with sparse matrices")
+            if jnp.issubdtype(jnp.dtype(cfg.a_dtype), jnp.integer):
+                raise ValueError(
+                    "quantized (uint8) A storage applies to dense A (the "
+                    "sparse triplet stores only nnz values); drop "
+                    "a_precision for sparse inputs")
         else:
             # integer a_precision = quantized storage: keep A at the work
             # dtype through init/prune/pad, quantize just before the solve

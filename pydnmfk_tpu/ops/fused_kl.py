@@ -50,7 +50,11 @@ def _fused_kl_kernel(a_ref, w_ref, h_ref, hrs_ref, eps_ref,
     # single-pass bf16 dots with f32 accumulation; f32-A keeps everything
     # f32; integer-quantized A computes in bf16 (exact for 8-bit values)
     nd = h_ref.dtype
-    a = a_ref[:].astype(jnp.float32)
+    a = a_ref[:]
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        # mosaic lacks unsigned->float casts; route uint8 -> int32 first
+        a = a.astype(jnp.int32)
+    a = a.astype(jnp.float32)
     w = w_ref[:].astype(jnp.float32)
     h = h_ref[:]                                          # already nd
 

@@ -59,14 +59,24 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
         return a @ b
     if (jnp.issubdtype(a.dtype, jnp.integer)
             or jnp.issubdtype(b.dtype, jnp.integer)):
-        # integer-stored operand (uint8-quantized A): feed the MXU in bf16
-        # — exact for 8-bit integers (bf16 represents 0..256 exactly) —
-        # accumulate f32, return the float side's dtype
-        wide = a.dtype if jnp.issubdtype(b.dtype, jnp.integer) else b.dtype
+        int_is_a = jnp.issubdtype(a.dtype, jnp.integer)
+        int_dt = a.dtype if int_is_a else b.dtype
+        wide = b.dtype if int_is_a else a.dtype
         if jnp.issubdtype(wide, jnp.integer):
             wide = jnp.float32
-        out = jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
+        if jnp.dtype(int_dt).itemsize == 1 and wide != jnp.float64:
+            # 8-bit operand (uint8-quantized A): feed the MXU in bf16 —
+            # exact for 8-bit integers (bf16 represents 0..256 exactly) —
+            # accumulate f32, return the float side's dtype
+            out = jnp.matmul(a.astype(jnp.bfloat16),
+                             b.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            return out.astype(wide)
+        # wider integers (or f64 factors): bf16 would round them — compute
+        # at the accumulation dtype instead
+        acc = _acc_dtype(wide)
+        out = jnp.matmul(a.astype(acc), b.astype(acc),
+                         preferred_element_type=acc)
         return out.astype(wide)
     if a.dtype != b.dtype:
         a_bits = jnp.finfo(a.dtype).bits

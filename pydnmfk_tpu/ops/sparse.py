@@ -204,16 +204,20 @@ def shard_sparse_grid(A, ctx):
     blk = (rows // br) * p_c + (cols // bc)
     counts = np.bincount(blk, minlength=p_r * p_c)
     e_max = max(int(counts.max()), 1)
+    # single stable sort partitions all blocks in one pass over nnz
+    order = np.argsort(blk, kind="stable")
+    rows, cols, data = rows[order], cols[order], data[order]
+    starts = np.concatenate(([0], np.cumsum(counts)))
     d_p = np.zeros((p_r, p_c, e_max), data.dtype)
     r_p = np.zeros((p_r, p_c, e_max), np.int32)
     c_p = np.zeros((p_r, p_c, e_max), np.int32)
     for i in range(p_r):
         for j in range(p_c):
-            sel = blk == i * p_c + j
-            cnt = int(counts[i * p_c + j])
-            d_p[i, j, :cnt] = data[sel]
-            r_p[i, j, :cnt] = rows[sel] - i * br
-            c_p[i, j, :cnt] = cols[sel] - j * bc
+            s, e = starts[i * p_c + j], starts[i * p_c + j + 1]
+            cnt = e - s
+            d_p[i, j, :cnt] = data[s:e]
+            r_p[i, j, :cnt] = rows[s:e] - i * br
+            c_p[i, j, :cnt] = cols[s:e] - j * bc
     sh = NamedSharding(ctx.mesh, P(ROW_AXIS, COL_AXIS, None))
     put = lambda x: jax.device_put(jnp.asarray(x), sh)
     return GridShardedSparse(put(d_p), put(r_p), put(c_p),

@@ -117,9 +117,8 @@ class DataReader:
 
     def _read_impl(self, ctx):
         if self.ftype == "npz":
-            if ctx is not None and ctx.n_devices > 1:
-                raise ValueError("sparse (.npz) input currently runs "
-                                 "single-device; use grid (1, 1)")
+            # returned as BCOO; NMF shard-partitions the triplet itself
+            # (ops/sparse.py::shard_sparse_grid) on multi-device grids
             return self.read_global()
         if ctx is None or ctx.n_devices == 1:
             return self.read_global()

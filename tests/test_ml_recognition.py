@@ -191,3 +191,15 @@ def test_train_k_predictor_end_to_end(tmp_path):
     _write_results(held, range(1, 15), true_k=5)
     pred = MLFeatureTools(str(held), model).predict_statistics()
     assert pred == 5
+
+
+def test_training_labels_are_index_offsets():
+    """Labels are INDEX offsets into the window (what the voting scheme
+    consumes), not k-value differences — they differ for step_k != 1."""
+    from pydnmfk_tpu.models.ml_recognition import (DEFAULT_PROPERTIES,
+                                                   build_training_windows)
+    app = {"k": np.arange(2, 20, 2)}          # ks = 2,4,...,18 (step 2)
+    for p in DEFAULT_PROPERTIES:
+        app[p] = np.zeros(9)
+    X, y = build_training_windows([app], [8])  # true k=8 -> index 3
+    assert y.tolist() == [3, 2]                # npreds = 9-7 = 2 windows

@@ -201,9 +201,11 @@ def test_sparse_npz_cli_and_runner(tmp_path):
     assert code.returncode == 0, code.stderr
     assert "relative error" in code.stdout
 
-    with pytest.raises(ValueError, match="single-device"):
-        r.run(grid=[2, 1], fpath=str(tmp_path) + "/", ftype="npz",
-              fname="spdata", results_path=str(tmp_path / "res3"), k=3)
+    # multi-device npz: NMF shard-partitions the triplet itself
+    out2 = r.run(grid=[2, 1], fpath=str(tmp_path) + "/", ftype="npz",
+                 fname="spdata", results_path=str(tmp_path / "res3"), k=3)
+    np.testing.assert_allclose(float(out2["err"]), float(out["err"]),
+                               rtol=1e-3)
 
 
 def test_densify_for_backend(monkeypatch):
@@ -290,3 +292,21 @@ def test_sharded_sparse_2d_grid_matches_single_device(tmp_path):
         np.testing.assert_allclose(float(e2), float(e1), rtol=1e-3)
         np.testing.assert_allclose(m2.column_err(), m1.column_err(),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_sparse_tol_and_checkpointed_solve(tmp_path):
+    """Sparse A composes with tol early-stop and mid-solve checkpointing."""
+    A, Asp = _sparse_lowrank(40, 30, 3, density=0.4, seed=16)
+    cfg = NMFConfig(k=3, norm="fro", method="mu", itr=400, init="rand",
+                    tol=1e-6, tol_check_every=50,
+                    results_path=str(tmp_path / "t"))
+    W, H, err = NMF(cfg).fit(Asp)
+    assert np.isfinite(err) and 0 < err < 0.9
+    cfg2 = NMFConfig(k=3, norm="kl", method="mu", itr=90, init="rand",
+                     solve_checkpoint_every=30,
+                     results_path=str(tmp_path / "c"))
+    W2, H2, e2 = NMF(cfg2).fit(Asp)
+    W3, H3, e3 = NMF(cfg2.replace(solve_checkpoint_every=0,
+                                  results_path=str(tmp_path / "d"))).fit(Asp)
+    np.testing.assert_allclose(np.asarray(W2), np.asarray(W3), rtol=1e-6)
+    assert float(e2) == float(e3)
