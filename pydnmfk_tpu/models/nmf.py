@@ -307,11 +307,32 @@ class NMF:
             # dtype through init/prune/pad, quantize just before the solve
             quant = jnp.issubdtype(jnp.dtype(cfg.a_dtype), jnp.integer)
             A = jnp.asarray(A, dtype=cfg.dtype if quant else cfg.a_dtype)
+
+        # Distributed-init fast path: pad + shard A BEFORE the factor init
+        # so nnsvd's Gram/panel products run on the mesh — no device ever
+        # holds a full A copy during init (the reference keeps A
+        # rank-sharded through its SVD too, dist_svd.py:89-94,112-115).
+        # Pruning is host-side and data-dependent, so the prune path keeps
+        # the reference's init-then-prune order (pyDNMF.py:90-101).
+        pre_sharded = False
+        if (not sparse_A and self.ctx.n_devices > 1 and not cfg.prune
+                and factors is None and cfg.init == "nnsvd"):
+            m0, n0 = A.shape
+            from ..parallel.partition import mesh_padding
+            pm, pn = mesh_padding((m0, n0), self.ctx.shape)
+            if pm or pn:
+                A = jnp.pad(A, ((0, pm), (0, pn)))
+            A = jax.device_put(A, self.ctx.sharding_A)
+            pre_sharded = (m0, n0)
+
         with timing.timed("init_factors"):
             if factors is not None:
                 W = jnp.asarray(factors[0], dtype=cfg.dtype)
                 H = jnp.asarray(factors[1], dtype=cfg.dtype)
             else:
+                # pre_sharded: nnsvd of the zero-padded A == zero-padded
+                # nnsvd of A (padding adds exact-zero singular directions),
+                # so W/H come back padded AND sharded already
                 W, H = self.init_factors(A, key=key)
 
         if cfg.prune:
@@ -332,7 +353,11 @@ class NMF:
                 W = jax.device_put(W, self.ctx.sharding_W)
                 H = jax.device_put(H, self.ctx.sharding_H)
         else:
-            A, W, H, (m_sol, n_sol) = self._mesh_pad(A, W, H)
+            if pre_sharded:
+                # A/W/H already padded + sharded by the init fast path
+                m_sol, n_sol = pre_sharded
+            else:
+                A, W, H, (m_sol, n_sol) = self._mesh_pad(A, W, H)
             if quant:
                 # solve on Q = round(A/s); errors are scale-invariant and
                 # the returned H carries s (linalg.quantize_uint8)

@@ -4,16 +4,25 @@ Reference: ``DistSVD`` (pyDNMFk/dist_svd.py:9-267).  The reference computes k
 singular triplets by *serial rank-0 power iteration with deflation* on the
 replicated Gram matrix (svd1D :96-137: Bcast a random vector, allreduce the
 Gram, iterate on rank 0 only, Bcast back — a per-triplet host bottleneck).
+Its scale property worth keeping: A stays rank-sharded throughout — Gram and
+A@v products are local-matmul + allreduce (dist_svd.py:89-94, :112-115,
+:170-181), so nnsvd init works at any scale the grid reaches.
 
 TPU-native re-design: one sharded Gram matmul (psum over the mesh) followed
 by a single dense ``eigh`` of the (min_dim x min_dim) Gram — all k triplets
 at once, no deflation loop, strictly better numerics — with a randomized
-subspace-iteration path when min(m, n) is too large to replicate.  The
-NNDSVD ±-part construction (:233-256) is kept semantically identical (it is
-sign-invariant, so the eigenvector sign ambiguity is immaterial), except the
-reference's ``UP_norm / p`` processor-count scaling (:250-251) is dropped:
-it is a uniform column scale that the final L1 normalize-by-W (:68-78)
-cancels exactly, so results match while staying grid-shape independent.
+subspace-iteration path when min(m, n) is too large to replicate.  The mesh
+story mirrors the reference's: A keeps its P('r','c') sharding end to end,
+the Gram / panel products lower to local matmul + psum, and only
+min(m,n)-sized (exact path) or panel-sized (randomized path) intermediates
+are ever replicated — no device holds a full copy of A
+(tests/test_nnsvd_golden.py asserts the per-device memory bound on the
+compiled program).  The NNDSVD ±-part construction (:233-256) is kept
+semantically identical (it is sign-invariant, so the eigenvector sign
+ambiguity is immaterial), except the reference's ``UP_norm / p``
+processor-count scaling (:250-251) is dropped: it is a uniform column scale
+that the final L1 normalize-by-W (:68-78) cancels exactly, so results match
+while staying grid-shape independent.
 """
 from __future__ import annotations
 
@@ -22,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops import linalg
 from ..parallel.mesh import GridContext
@@ -30,17 +40,33 @@ from ..parallel.mesh import GridContext
 _EXACT_GRAM_LIMIT = 8192   # replicate the Gram and eigh below this min-dim
 
 
+def _constrain(x, ctx: Optional[GridContext], spec):
+    """Pin an intermediate's sharding on the mesh (no-op single-device)."""
+    if ctx is not None and ctx.n_devices > 1:
+        return lax.with_sharding_constraint(x, ctx.sharding(spec))
+    return x
+
+
 def _panel_qr(Y):
     """Tall-skinny orthonormalization.  Dense reduced QR: rank-deficient
     panels (exactly low-rank A) break Cholesky-QR, and this runs only a few
-    times at init, so robustness wins over the matmul-only variant."""
+    times at init, so robustness wins over the matmul-only variant.  QR is
+    not SPMD-partitionable, so the (big, b) panel is gathered — b = k + 10,
+    i.e. panel bytes are W-sized, not A-sized."""
     Q, _ = jnp.linalg.qr(Y.astype(linalg._acc_dtype(Y)), mode="reduced")
     return Q
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _svd_gram(A, k: int):
-    """Exact top-k SVD via eigh of the smaller Gram matrix."""
+def _svd_gram(A, k: int, ctx: Optional[GridContext] = None):
+    """Exact top-k SVD via eigh of the smaller Gram matrix.
+
+    With A sharded P('r','c'), the Gram lowers to a local matmul + psum
+    (the reference's globalGram, dist_svd.py:89-94); the (min_dim^2) eigh
+    runs replicated; the back-projection A @ V / A^T @ U is again local
+    matmul + psum with the output pinned to the factor shardings."""
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    from jax.sharding import PartitionSpec as P
+
     m, n = A.shape
     Af = A.astype(linalg._acc_dtype(A))
     if m >= n:
@@ -57,33 +83,51 @@ def _svd_gram(A, k: int):
         U = jnp.take(evecs, order, axis=1)      # (m,k)
         S = jnp.sqrt(jnp.clip(jnp.take(evals, order), 0.0))
         V = linalg.matmul(Af.T, U) / jnp.maximum(S, 1e-30)[None, :]
-    return S, U, V.T                            # V^T is (k,n)
+    U = _constrain(U, ctx, P(ROW_AXIS, None))
+    Vt = _constrain(V.T, ctx, P(None, COL_AXIS))
+    return S, U, Vt                             # V^T is (k,n)
 
 
-@partial(jax.jit, static_argnames=("k", "iters", "oversample"))
-def _svd_randomized(A, key, k: int, iters: int = 8, oversample: int = 10):
-    """Randomized subspace iteration for very large min(m, n)."""
+def _svd_randomized(A, key, k: int, iters: int = 8, oversample: int = 10,
+                    ctx: Optional[GridContext] = None):
+    """Randomized subspace iteration for very large min(m, n).
+
+    The subspace panel Q (big, k+oversample) is pinned to the long-axis
+    sharding between QR steps, so the X @ (X^T @ Q) products stay
+    local-matmul + psum on the mesh (the distributed analog of the
+    reference's power iteration, dist_svd.py:112-137, which iterated on
+    rank 0 only)."""
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    from jax.sharding import PartitionSpec as P
+
     m, n = A.shape
     b = min(k + oversample, min(m, n))
     Af = A.astype(linalg._acc_dtype(A))
     tall = m >= n
-    X = Af if tall else Af.T                    # (big, small)? no: (m,n) or (n,m)
+    X = Af if tall else Af.T                    # long axis leading
+    panel_spec = P(ROW_AXIS if tall else COL_AXIS, None)
     Y = linalg.matmul(X, jax.random.normal(key, (X.shape[1], b),
                                            linalg._acc_dtype(A)))
-    Q = _panel_qr(Y)
+    Q = _constrain(_panel_qr(Y), ctx, panel_spec)
     for _ in range(iters):
-        Q = _panel_qr(linalg.matmul(X, linalg.matmul(X.T, Q)))
+        Q = _constrain(_panel_qr(linalg.matmul(X, linalg.matmul(X.T, Q))),
+                       ctx, panel_spec)
     B = linalg.matmul(Q.T, X)                   # (b, small)
     Bs, Bu, Bvt = _svd_gram(B, k)
     U_big = linalg.matmul(Q, Bu)                # (big, k)
     if tall:
-        return Bs, U_big, Bvt
-    return Bs, Bvt.T, U_big.T
+        S, U, Vt = Bs, U_big, Bvt
+    else:
+        S, U, Vt = Bs, Bvt.T, U_big.T
+    U = _constrain(U, ctx, P(ROW_AXIS, None))
+    Vt = _constrain(Vt, ctx, P(None, COL_AXIS))
+    return S, U, Vt
 
 
 def _nnsvd_from_svd(S, U, Vt, eps, flag=1):
     """NNDSVD ± construction from SVD factors (reference :233-256) followed
-    by L1 normalize-by-W (reference :68-78).  Pure / vmappable."""
+    by L1 normalize-by-W (reference :68-78).  Pure / vmappable; the column
+    norms are global sums that psum over the sharded row axes."""
     if flag == 0:
         W = jnp.maximum(U, 0.0)
         H = jnp.maximum(S[:, None] * Vt, 0.0)
@@ -106,15 +150,48 @@ def _nnsvd_from_svd(S, U, Vt, eps, flag=1):
     return W / s, H * s.T
 
 
-def nnsvd_factors(A, k: int, eps: float, flag: int = 1):
+@partial(jax.jit, static_argnames=("k", "exact", "ctx"))
+def _svd_program(A, key, k: int, exact: bool, ctx: Optional[GridContext]):
+    if exact:
+        return _svd_gram(A, k, ctx)
+    return _svd_randomized(A, key, k, ctx=ctx)
+
+
+@partial(jax.jit, static_argnames=("k", "flag", "exact", "ctx"))
+def _nnsvd_program(A, key, eps, k: int, flag: int, exact: bool,
+                   ctx: Optional[GridContext]):
+    """SVD + NNDSVD as ONE jitted program so the partitioner sees the whole
+    init and every intermediate keeps its mesh sharding (W out: P('r',∅),
+    H out: P(∅,'c'))."""
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    if exact:
+        S, U, Vt = _svd_gram(A, k, ctx)
+    else:
+        S, U, Vt = _svd_randomized(A, key, k, ctx=ctx)
+    W, H = _nnsvd_from_svd(S, U, Vt, eps, flag)
+    W = _constrain(W, ctx, P(ROW_AXIS, None))
+    H = _constrain(H, ctx, P(None, COL_AXIS))
+    return W, H
+
+
+def nnsvd_factors(A, k: int, eps: float, flag: int = 1,
+                  ctx: Optional[GridContext] = None):
     """Pure-function NNDSVD init: (W, H) for one matrix.  vmap over a
     leading ensemble axis to initialize a whole perturbation batch."""
-    S, U, Vt = _svd_gram(A, k)
+    S, U, Vt = _svd_gram(A, k, ctx)
     return _nnsvd_from_svd(S, U, Vt, eps, flag)
 
 
 class DistSVD:
-    """API mirror of reference DistSVD (svd / nnsvd / rel_error)."""
+    """API mirror of reference DistSVD (svd / nnsvd / rel_error).
+
+    ``ctx`` carries the device mesh: with a multi-device context the input
+    A is expected sharded P('r','c') (models/nmf.py pads and shards BEFORE
+    init) and every product runs as local matmul + psum — the mesh
+    equivalent of the reference keeping A rank-sharded through its
+    Gram/matvec products (dist_svd.py:89-94, :112-115)."""
 
     def __init__(self, ctx: Optional[GridContext] = None, k: int = 4,
                  eps: float = float(jnp.finfo(jnp.float32).eps),
@@ -124,12 +201,14 @@ class DistSVD:
         self.eps = eps
         self.seed = seed
 
+    def _use_exact(self, A) -> bool:
+        return min(A.shape) <= _EXACT_GRAM_LIMIT
+
     def svd(self, A):
         """Top-k singular triplets.  Returns (S (k,), U (m,k), Vt (k,n))."""
         A = jnp.asarray(A)
-        if min(A.shape) <= _EXACT_GRAM_LIMIT:
-            return _svd_gram(A, self.k)
-        return _svd_randomized(A, jax.random.key(self.seed), self.k)
+        return _svd_program(A, jax.random.key(self.seed), self.k,
+                            self._use_exact(A), self.ctx)
 
     def rel_error(self, A, U, S, Vt):
         """||A - U diag(S) Vt||_F / ||A||_F (reference :188-197)."""
@@ -144,12 +223,12 @@ class DistSVD:
         Returns (W, H) L1-normalized by W; with verbose=1 also a dict of
         SVD/NNSVD reconstruction errors."""
         A = jnp.asarray(A)
-        S, U, Vt = self.svd(A)
-        errors = {}
+        W, H = _nnsvd_program(A, jax.random.key(self.seed),
+                              jnp.asarray(self.eps, jnp.float32),
+                              self.k, flag, self._use_exact(A), self.ctx)
         if verbose:
-            errors["recon_err_svd"] = self.rel_error(A, U, S, Vt)
-        W, H = _nnsvd_from_svd(S, U, Vt, self.eps, flag)
-        if verbose:
+            S, U, Vt = self.svd(A)
+            errors = {"recon_err_svd": self.rel_error(A, U, S, Vt)}
             # error of the unnormalized factors == normalized (W scale
             # cancels against H), reference computes it pre-normalize
             errors["recon_err_nnsvd"] = self.rel_error(

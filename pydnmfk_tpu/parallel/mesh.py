@@ -70,6 +70,16 @@ class GridContext:
     def __init__(self, mesh: Mesh):
         self.mesh = mesh
 
+    # Hash/eq by the mesh (jax.sharding.Mesh compares devices + axis
+    # names), so jit caches keyed on a GridContext — _jitted_solver,
+    # _ensemble_program — hit across instances built for the same grid.
+    def __hash__(self):
+        return hash(self.mesh)
+
+    def __eq__(self, other):
+        return (isinstance(other, GridContext)
+                and self.mesh == other.mesh)
+
     # ---- sharding specs -------------------------------------------------
     @property
     def spec_A(self) -> P:
@@ -141,14 +151,14 @@ class GridContext:
 
 
 @functools.lru_cache(maxsize=None)
-def _default_context() -> GridContext:
-    return GridContext(single_device_mesh())
-
-
 def grid_context(p_r: int = 1, p_c: int = 1, p_e: int = 1) -> GridContext:
-    """Construct a GridContext for the requested grid shape."""
-    if p_r == 1 and p_c == 1 and p_e == 1:
-        return _default_context()
+    """Construct (or return the cached) GridContext for a grid shape.
+
+    Cached by (p_r, p_c, p_e): two NMF/NMFk instances on the same grid
+    share one context object — and therefore every trace/compile cache
+    keyed on it (the round-2 identity-cached version re-traced per
+    instance).  The device list is process-stable, so caching is safe.
+    """
     return GridContext(make_grid_mesh(p_r, p_c, p_e))
 
 
