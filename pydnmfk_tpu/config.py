@@ -163,6 +163,17 @@ class NMFkConfig:
     # identical-stream property implicitly does.
     seed_grid: Optional[Tuple[int, int]] = None
 
+    def __post_init__(self):
+        if (self.seed_grid not in (None, (1, 1))
+                and self.sampling != "uniform"):
+            # Poisson consumes the PRNG stream value-dependently per rank
+            # in the reference (pyDNMFk.py:47-50): identical seeds do NOT
+            # produce tiled noise, so there is no grid statistic to
+            # reproduce — reject instead of silently ignoring (VERDICT r2).
+            raise ValueError(
+                "seed_grid reference-MPI compatibility applies only to "
+                f"sampling='uniform' (got sampling={self.sampling!r})")
+
     @property
     def k_range(self):
         return range(self.start_k, self.end_k + 1, self.step_k)

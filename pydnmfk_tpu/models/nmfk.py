@@ -244,12 +244,21 @@ class NMFk:
             if cfg.nmf.init != "rand":
                 raise ValueError("sparse NMFk requires init='rand' (nnsvd "
                                  "needs dense A)")
+            if cfg.nmf.method.lower() == "bcd":
+                # same guard as models/nmf.py solve(): the ensemble program
+                # calls _solve directly, which would otherwise crash deep
+                # inside bcd_solve's dense-residual subtraction
+                raise ValueError(
+                    "sparse A supports MU (fro/kl) and HALS; the BCD "
+                    "objective needs the dense residual every inner step")
             if cfg.seed_grid not in (None, (1, 1)):
                 raise ValueError("seed-grid MPI compat is dense-only")
             if jnp.dtype(A.data.dtype) != jnp.dtype(cfg.nmf.dtype):
                 from jax.experimental import sparse as jsparse
                 A = jsparse.BCOO((A.data.astype(cfg.nmf.dtype), A.indices),
-                                 shape=A.shape)
+                                 shape=A.shape,
+                                 unique_indices=A.unique_indices,
+                                 indices_sorted=A.indices_sorted)
         else:
             A = jnp.asarray(A, dtype=cfg.nmf.dtype)
         self._orig_shape = A.shape
@@ -278,8 +287,9 @@ class NMFk:
         try:
             from ..utils.plotting import plot_results_fpath
             plot_results_fpath(self.results_path, list(cfg.k_range))
-        except Exception:
-            pass
+        except Exception as e:               # plotting is best-effort, but
+            import warnings                  # never silently (VERDICT r2)
+            warnings.warn(f"k-selection plot failed: {e!r}")
         return nopt
 
     # ------------------------------------------------------------------

@@ -79,8 +79,13 @@ def sample_member(A, key, noise_var, method: str = "uniform",
         m = (2.0 * noise_var * u + noise_var + 1.0).astype(A.dtype)
         return A * m
     if method == "poisson":
-        # Poisson consumes the stream value-dependently per rank in the
-        # reference (blocks differ), so there is no clean tiling to emulate.
+        if tile_grid not in (None, (1, 1)):
+            # Poisson consumes the stream value-dependently per rank in the
+            # reference (blocks differ even with identical seeds), so there
+            # is no tiled statistic to emulate — reject rather than
+            # silently drop the request (NMFkConfig rejects it up front)
+            raise ValueError("seed-grid MPI compat applies only to "
+                             "uniform sampling")
         return jax.random.poisson(key, A.astype(jnp.float32)).astype(A.dtype)
     raise ValueError(f"unknown sampling method {method!r}")
 

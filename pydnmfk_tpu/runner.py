@@ -83,6 +83,7 @@ class Runner:
             try:
                 from .utils.plotting import plot_timing_stats
                 plot_timing_stats(stats_path, results_path)
-            except Exception:
-                pass
+            except Exception as e:           # best-effort, but never silent
+                import warnings
+                warnings.warn(f"timing plot failed: {e!r}")
         return results

@@ -127,49 +127,73 @@ class _NpzSolveCheckpoint:
 
 
 class _OrbaxSolveCheckpoint:
+    """A/B alternating orbax dirs: each save writes the NON-live dir and
+    atomically repoints the tag file afterwards, so a preemption mid-save
+    can only tear the dir being written — the previous checkpoint (still
+    referenced by the old tag file) survives intact.  (The round-2 version
+    overwrote the single live dir in place; a crash there silently
+    restarted the solve from iteration 0.)"""
+
+    _SLOTS = (".a", ".b")
+
     def __init__(self, results_path: str, k: int, tag: str):
-        self.dir = os.path.abspath(
+        self.base = os.path.abspath(
             os.path.join(results_path, f"solve_ckpt_k{k}.orbax"))
-        self.tagfile = self.dir + ".tag"
+        self.tagfile = self.base + ".tag"
         self.tag = tag
 
     def _ckptr(self):
         import orbax.checkpoint as ocp
         return ocp.PyTreeCheckpointer()
 
+    def _live_slot(self):
+        """Slot named by the tag file, or None (missing/stale/torn tag)."""
+        try:
+            with open(self.tagfile) as f:
+                content = f.read()
+        except OSError:
+            return None
+        slot, _, tag = content.partition("\n")
+        if tag != self.tag or slot not in self._SLOTS:
+            return None
+        return slot
+
     def load(self, W, H):
         import jax
         import jax.numpy as jnp
-        if not (os.path.isdir(self.dir) and os.path.exists(self.tagfile)):
+        slot = self._live_slot()
+        if slot is None or not os.path.isdir(self.base + slot):
             return W, H, 0
         try:
-            with open(self.tagfile) as f:
-                if f.read() != self.tag:
-                    return W, H, 0
             import orbax.checkpoint as ocp
             tpl = {"W": W, "H": H,
                    "i": jnp.zeros((), jnp.int32)}
             restore_args = jax.tree.map(
                 lambda x: ocp.ArrayRestoreArgs(sharding=x.sharding), tpl)
-            out = self._ckptr().restore(self.dir,
+            out = self._ckptr().restore(self.base + slot,
                                         restore_args=restore_args)
             return out["W"], out["H"], int(out["i"])
         except Exception:
             return W, H, 0               # partial/incompatible: restart
 
     def save(self, W, H, i: int):
+        import shutil
         import jax.numpy as jnp
-        self._ckptr().save(self.dir,
+        live = self._live_slot()
+        target = self._SLOTS[0] if live != self._SLOTS[0] else self._SLOTS[1]
+        shutil.rmtree(self.base + target, ignore_errors=True)
+        self._ckptr().save(self.base + target,
                            {"W": W, "H": H,
                             "i": jnp.asarray(i, jnp.int32)}, force=True)
         tmp = self.tagfile + ".tmp"
         with open(tmp, "w") as f:
-            f.write(self.tag)
-        os.replace(tmp, self.tagfile)
+            f.write(target + "\n" + self.tag)
+        os.replace(tmp, self.tagfile)    # repoint last: the commit point
 
     def cleanup(self):
         import shutil
-        shutil.rmtree(self.dir, ignore_errors=True)
+        for slot in self._SLOTS:
+            shutil.rmtree(self.base + slot, ignore_errors=True)
         try:
             os.remove(self.tagfile)
         except OSError:

@@ -37,7 +37,7 @@ CATEGORIES = {
     "sampling": ["sample_ensemble", "sample_one"],
     "dist_compute": ["solve", "mu_fro_step", "mu_kl_step", "hals_step",
                      "bcd_solve", "svd", "nnsvd"],
-    "dist_comm": ["dist_comm"],
+    "dist_comm": ["dist_comm_est"],
     "clustering": ["cluster_ensemble", "fit_clustering"],
 }
 
@@ -139,11 +139,15 @@ def record_dist_comm(fn, *args, link_gbps: float = 45.0,
                      iterations: int = 1) -> Dict[str, object]:
     """Estimate collective time of ``fn(*args)`` from HLO bytes / bandwidth
     (default 45 GB/s ~ one v5e ICI link) and accumulate it under the
-    reference's 'dist_comm' timing category."""
+    reference's 'dist_comm' timing category.
+
+    Recorded as ``dist_comm_est`` — the ``_est`` suffix marks it as a
+    bytes/bandwidth model, distinguishing it from the measured wall-time
+    entries it shares the Timing_stats.csv with."""
     stats = collective_stats(fn, *args)
     est = stats["bytes"] * iterations / (link_gbps * 1e9)
     if ENABLED:
-        _record("dist_comm", est)
+        _record("dist_comm_est", est)
     stats["est_seconds"] = est
     return stats
 

@@ -108,7 +108,7 @@ def test_sharded_orbax_checkpoint_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(nmf_mod, "solve", crashing)
     with pytest.raises(RuntimeError):
         NMF(cfg).fit(A)
-    assert os.path.isdir(tmp_path / "solve_ckpt_k5.orbax")
+    assert os.path.exists(tmp_path / "solve_ckpt_k5.orbax.tag")
     monkeypatch.setattr(nmf_mod, "solve", real)
 
     calls2 = []
@@ -124,8 +124,47 @@ def test_sharded_orbax_checkpoint_resume(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(W), np.asarray(golden_W),
                                rtol=1e-6)
     assert float(e) == float(golden_e)
-    # cleaned up after the completed fit
-    assert not os.path.isdir(tmp_path / "solve_ckpt_k5.orbax")
+    # cleaned up after the completed fit (both A/B slots + tag)
+    assert not os.path.isdir(tmp_path / "solve_ckpt_k5.orbax.a")
+    assert not os.path.isdir(tmp_path / "solve_ckpt_k5.orbax.b")
+    assert not os.path.exists(tmp_path / "solve_ckpt_k5.orbax.tag")
+
+
+def test_orbax_torn_save_keeps_previous_checkpoint(tmp_path):
+    """A preemption in the MIDDLE of an orbax save must not lose the last
+    good checkpoint: saves alternate A/B dirs and the tag file repoints
+    only after a complete write (ADVICE r2: the in-place force=True
+    overwrite left a torn dir behind a still-valid tag)."""
+    import jax
+    from pydnmfk_tpu.parallel.mesh import grid_context
+    from pydnmfk_tpu.utils.checkpoint import _OrbaxSolveCheckpoint
+
+    ctx = grid_context(2, 2)
+    W = jax.device_put(np.ones((8, 4), np.float32), ctx.sharding_W)
+    H = jax.device_put(np.ones((4, 8), np.float32), ctx.sharding_H)
+
+    ck = _OrbaxSolveCheckpoint(str(tmp_path), 4, "tag1")
+    ck.save(W * 1, H * 1, 40)
+    # crash mid-second-save: the target slot dir is half-written garbage,
+    # but the tag still points at the completed first save
+    live = ck._live_slot()
+    other = ".b" if live == ".a" else ".a"
+    os.makedirs(ck.base + other, exist_ok=True)
+    with open(os.path.join(ck.base + other, "garbage"), "w") as f:
+        f.write("torn")
+
+    ck2 = _OrbaxSolveCheckpoint(str(tmp_path), 4, "tag1")
+    W0 = jax.device_put(np.zeros((8, 4), np.float32), ctx.sharding_W)
+    H0 = jax.device_put(np.zeros((4, 8), np.float32), ctx.sharding_H)
+    Wr, Hr, i = ck2.load(W0, H0)
+    assert i == 40
+    np.testing.assert_array_equal(np.asarray(Wr), np.asarray(W))
+
+    # and the next save still lands cleanly (overwrites the torn slot)
+    ck2.save(W * 2, H * 2, 80)
+    _, _, i2 = ck2.load(W0, H0)
+    assert i2 == 80
+    ck2.cleanup()
 
 
 def test_sharded_checkpoint_stale_tag_restarts(tmp_path):

@@ -40,7 +40,9 @@ def test_record_dist_comm_category():
         assert stats["est_seconds"] >= 0
         br = timing.category_breakdown()
         assert "dist_comm" in br
-        assert br["dist_comm"] == timing.TIMINGS.get("dist_comm", 0.0)
+        # recorded under the _est-suffixed name: estimated, not measured
+        assert "dist_comm" not in timing.TIMINGS
+        assert br["dist_comm"] == timing.TIMINGS.get("dist_comm_est", 0.0)
     finally:
         timing.enable(False)
         timing.reset()
