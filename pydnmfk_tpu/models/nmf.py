@@ -242,21 +242,26 @@ class NMF:
         self.recon_err = None
         self.prune_state: Optional[PruneState] = None
 
-    def _mesh_pad(self, A, W, H):
+    def _mesh_pad(self, A, W, H, true_shape=None):
         """Zero-pad (A, W, H) so every dim tiles evenly over the mesh —
         XLA's NamedSharding rejects uneven shapes (SURVEY hard-part (d)).
         Padded rows/cols are exact zeros: multiplicative updates keep the
         corresponding W rows / H cols at ~eps, perturbing global statistics
-        only at the eps^2 level.  Returns the unpadded (m, n)."""
-        m, n = A.shape
+        only at the eps^2 level.  ``true_shape`` declares the unpadded dims
+        when A arrives pre-padded (DataReader pad_to_mesh).  Returns the
+        unpadded (m, n)."""
+        m, n = true_shape if true_shape else A.shape
         if self.ctx.n_devices == 1:
             return A, W, H, (m, n)
-        from ..parallel.partition import mesh_padding
-        pm, pn = mesh_padding((m, n), self.ctx.shape)
-        if pm or pn:
-            A = jnp.pad(A, ((0, pm), (0, pn)))
-            W = jnp.pad(W, ((0, pm), (0, 0)))
-            H = jnp.pad(H, ((0, 0), (0, pn)))
+        from ..parallel.partition import padded_dim
+        tm = padded_dim(m, self.ctx.shape[0])
+        tn = padded_dim(n, self.ctx.shape[1])
+        if A.shape != (tm, tn):
+            A = jnp.pad(A, ((0, tm - A.shape[0]), (0, tn - A.shape[1])))
+        if W.shape[0] != tm:
+            W = jnp.pad(W, ((0, tm - W.shape[0]), (0, 0)))
+        if H.shape[1] != tn:
+            H = jnp.pad(H, ((0, 0), (0, tn - H.shape[1])))
         return A, W, H, (m, n)
 
     def _shard(self, A, W, H):
@@ -282,9 +287,14 @@ class NMF:
             raise ValueError(f"unknown init {cfg.init!r}")
         return W, H
 
-    def fit(self, A, factors: Optional[Tuple] = None, key=None):
+    def fit(self, A, factors: Optional[Tuple] = None, key=None,
+            orig_shape: Optional[Tuple[int, int]] = None):
         """Returns (W, H, recon_err) as the reference PyNMF.fit does
-        (pyDNMF.py:137-182)."""
+        (pyDNMF.py:137-182).
+
+        ``orig_shape`` declares the true global dims when A arrives already
+        zero-padded to the mesh tiling (DataReader ``pad_to_mesh=True``);
+        the returned factors are sliced back to it."""
         cfg = self.cfg
         if linalg.is_sparse(A):
             from ..ops.sparse import densify_for_backend
@@ -317,11 +327,13 @@ class NMF:
         pre_sharded = False
         if (not sparse_A and self.ctx.n_devices > 1 and not cfg.prune
                 and factors is None and cfg.init == "nnsvd"):
-            m0, n0 = A.shape
-            from ..parallel.partition import mesh_padding
-            pm, pn = mesh_padding((m0, n0), self.ctx.shape)
-            if pm or pn:
-                A = jnp.pad(A, ((0, pm), (0, pn)))
+            m0, n0 = orig_shape if orig_shape else A.shape
+            from ..parallel.partition import padded_dim
+            tm = padded_dim(m0, self.ctx.shape[0])
+            tn = padded_dim(n0, self.ctx.shape[1])
+            if A.shape != (tm, tn):
+                A = jnp.pad(A, ((0, tm - A.shape[0]),
+                                (0, tn - A.shape[1])))
             A = jax.device_put(A, self.ctx.sharding_A)
             pre_sharded = (m0, n0)
 
@@ -357,7 +369,9 @@ class NMF:
                 # A/W/H already padded + sharded by the init fast path
                 m_sol, n_sol = pre_sharded
             else:
-                A, W, H, (m_sol, n_sol) = self._mesh_pad(A, W, H)
+                A, W, H, (m_sol, n_sol) = self._mesh_pad(
+                    A, W, H,
+                    true_shape=None if cfg.prune else orig_shape)
             if quant:
                 # solve on Q = round(A/s); errors are scale-invariant and
                 # the returned H carries s (linalg.quantize_uint8)
@@ -385,6 +399,12 @@ class NMF:
             H = H * a_scale.astype(H.dtype)
         if cfg.prune:
             W, H = unprune_factors(W, H, self.prune_state)
+            if orig_shape and (W.shape[0] != orig_shape[0]
+                               or H.shape[1] != orig_shape[1]):
+                # pre-padded input: the pruned-away mesh padding was
+                # restored as trailing zero rows/cols — slice it back off
+                W = W[:orig_shape[0]]
+                H = H[:, :orig_shape[1]]
         if cfg.save_factors:
             from ..utils.io import DataWriter
             with timing.timed("save_factors"):

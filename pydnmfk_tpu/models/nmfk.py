@@ -220,9 +220,12 @@ class NMFk:
         self.per_k_stats = {}
 
     # ------------------------------------------------------------------
-    def fit(self, A) -> int:
+    def fit(self, A, orig_shape=None) -> int:
         """Run the full sweep; returns the estimated k (reference
-        PyNMFk.fit, pyDNMFk.py:168-215)."""
+        PyNMFk.fit, pyDNMFk.py:168-215).
+
+        ``orig_shape`` declares the true global dims when A arrives already
+        zero-padded to the mesh tiling (DataReader ``pad_to_mesh=True``)."""
         cfg = self.cfg
         os.makedirs(self.results_path, exist_ok=True)
         if jnp.issubdtype(jnp.dtype(cfg.nmf.a_dtype), jnp.integer):
@@ -261,14 +264,19 @@ class NMFk:
                                  indices_sorted=A.indices_sorted)
         else:
             A = jnp.asarray(A, dtype=cfg.nmf.dtype)
-        self._orig_shape = A.shape
+        self._orig_shape = tuple(orig_shape) if orig_shape else A.shape
         # prune once before sampling: multiplicative/Poisson noise keeps
         # zeros zero, so this matches the reference pruning inside every
         # perturbation fit (pyDNMF.py:99-101) — see utils/pruning.prune_A
         self.prune_state = None
         if cfg.nmf.prune:
+            # pre-padded input: the all-zero mesh padding prunes away with
+            # the other zero rows/cols, so A is back at true (pruned) dims
             A, self.prune_state = prune_A(A)
-        self._work_shape = A.shape
+            self._work_shape = A.shape
+        else:
+            self._work_shape = (tuple(orig_shape) if orig_shape
+                                else A.shape)
         if self.ctx.n_devices > 1:
             # pad-and-mask for XLA's even-tiling requirement; downstream
             # stats stay in original coordinates (padding is appended, so
@@ -461,10 +469,13 @@ class NMFk:
             # pruned-out (all-zero) columns carry zero error
             full = np.zeros(self.prune_state.n_cols_full, dtype=col_err.dtype)
             full[np.asarray(self.prune_state.col_mask)] = col_err
-            col_err = full
+            # pre-padded input: drop the restored (trailing) mesh padding
+            col_err = full[:self._orig_shape[1]]
         if self.prune_state is not None:
             AvgW, AvgH = unprune_factors(jnp.asarray(AvgW),
                                          jnp.asarray(AvgH), self.prune_state)
+            AvgW = AvgW[:self._orig_shape[0]]
+            AvgH = AvgH[:, :self._orig_shape[1]]
         avg_err = float(np.mean(recon_errs))
         aic = 2 * k + m0 * n0 * float(np.log(avg_err / (m0 * n0)))
 

@@ -59,7 +59,12 @@ class Runner:
         ctx = grid_context(*grid)
         reader = DataReader(fpath, fname, ftype, pgrid=grid,
                             precision=self.precision)
-        A = reader.read(ctx)
+        # pad_to_mesh: uneven shapes arrive zero-padded per block (no host
+        # ever assembles the full matrix); true dims travel as orig_shape
+        A = reader.read(ctx, pad_to_mesh=True)
+        orig_shape = reader.last_global_shape
+        if orig_shape == tuple(getattr(A, "shape", ())):
+            orig_shape = None
 
         results = {}
         if self.process == "pyDNMFk":
@@ -71,9 +76,9 @@ class Runner:
                 results_path=results_path, fname=fname,
                 seed_grid=(tuple(self.seed_grid)
                            if self.seed_grid else None))
-            results["nopt"] = NMFk(cfg, ctx).fit(A)
+            results["nopt"] = NMFk(cfg, ctx).fit(A, orig_shape=orig_shape)
         else:
-            W, H, err = NMF(nmf_cfg, ctx).fit(A)
+            W, H, err = NMF(nmf_cfg, ctx).fit(A, orig_shape=orig_shape)
             results.update(W=W, H=H, err=err)
 
         if self.timing_stats:

@@ -8,10 +8,16 @@ post-processing and the MLP k-predictor work unchanged.
 
 TPU-native departures:
   * The reference has every rank load the FULL file then slice its block
-    (data_io.py:92-105) — the documented IO hot spot.  Here .npy loads are
-    memory-mapped and sharded arrays are assembled with
-    ``jax.make_array_from_callback``, so each host only materializes the
-    blocks its devices own.
+    (data_io.py:92-105) — the documented IO hot spot.  Here sharded arrays
+    are assembled with ``jax.make_array_from_callback``, so each host only
+    materializes the blocks its devices own; .npy blocks go through the
+    native C reader (touching only the block's bytes), and .mat/.csv/.txt
+    are converted ONCE to a sibling ``.cache.npy`` (atomic write) so every
+    subsequent run block-reads them the same way.
+  * Uneven global shapes are zero-padded to the mesh tiling inside the
+    block callbacks (``pad_to_mesh=True``), so no host ever assembles the
+    full matrix; the true shape is reported via ``last_global_shape`` and
+    threaded to the models as ``orig_shape``.
   * 'folder' chunk layout follows the same remainder-balanced block formula
     (parallel/partition.py) for file-level compatibility.
 """
@@ -53,6 +59,56 @@ class DataReader:
         self.ftype = ftype
         self.pgrid = tuple(pgrid)
         self.precision = precision
+        # true (unpadded) global shape of the last read; differs from the
+        # returned array's shape only for pad_to_mesh reads
+        self.last_global_shape: Optional[tuple] = None
+
+    # ------------------------------------------------------------------
+    def _path(self) -> str:
+        return os.path.join(self.fpath, self.fname + "." + self.ftype)
+
+    def _block_readable_path(self) -> Optional[str]:
+        """Path of an .npy file the block reader can serve: the file itself
+        for ftype='npy', else a one-time sibling ``.cache.npy`` conversion
+        (SURVEY hard-part (e): the reference re-reads the FULL .mat/.csv on
+        every rank of every run, data_io.py:92-105 — here the full read
+        happens once per file, ever, then all runs block-read)."""
+        if self.ftype == "npy":
+            return self._path()
+        if self.ftype not in ("mat", "csv", "txt"):
+            return None
+        import hashlib
+        src = self._path()
+        root = os.environ.get("PYDNMFK_CACHE_DIR",
+                              os.path.expanduser("~/.cache/pydnmfk_tpu"))
+        key = hashlib.sha1(os.path.abspath(src).encode()).hexdigest()[:16]
+        cache = os.path.join(root, f"{self.fname}.{key}.npy")
+        try:
+            if (os.path.exists(cache)
+                    and os.path.getmtime(cache) >= os.path.getmtime(src)):
+                return cache
+            os.makedirs(root, exist_ok=True)
+            data = np.ascontiguousarray(_read_full(src, self.ftype,
+                                                   mmap=False))
+            tmp = cache + f".tmp{os.getpid()}.npy"
+            np.save(tmp, data)
+            os.replace(tmp, cache)       # atomic: concurrent hosts race
+            return cache                 # benignly (same content)
+        except OSError:
+            return None                  # unwritable cache: full-read path
+
+    def _read_block(self, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
+        """One [r0,r1) x [c0,c1) block, touching only the block's bytes
+        when a block-readable file exists."""
+        path = self._block_readable_path()
+        if path is not None:
+            from ..native import read_npy_block
+            blk = read_npy_block(path, r0, r1, c0, c1)
+            if blk is None:              # no C toolchain: numpy mmap slice
+                blk = np.asarray(np.load(path, mmap_mode="r")[r0:r1, c0:c1])
+            return blk.astype(self.precision)
+        full = _read_full(self._path(), self.ftype)
+        return np.asarray(full[r0:r1, c0:c1]).astype(self.precision)
 
     def read_global(self) -> np.ndarray:
         """Full matrix on host (single-host path).  ftype='npz' loads a
@@ -87,71 +143,91 @@ class DataReader:
             shape=M.shape, unique_indices=True)
         return bcoo.sort_indices()
 
+    def _global_shape(self) -> tuple:
+        """Global dims WITHOUT materializing data where possible."""
+        path = self._block_readable_path()
+        if path is not None:
+            from ..native import _parse_npy_header
+            info = _parse_npy_header(path)
+            if info is not None:
+                return tuple(info[1])
+            return tuple(np.load(path, mmap_mode="r").shape)
+        return tuple(np.asarray(
+            _read_full(self._path(), self.ftype)).shape)
+
     def read_chunk(self, rank: int) -> np.ndarray:
-        """One grid block (reference data_partition, data_io.py:70-83).
-        .npy goes through the native C block reader (pydnmfk_tpu.native)
-        when available, touching only the block's bytes."""
+        """One grid block (reference data_partition, data_io.py:70-83),
+        touching only the block's bytes for block-readable formats."""
         if self.ftype == "folder":
             return np.load(os.path.join(
                 self.fpath, f"{self.fname}{rank}.npy")).astype(self.precision)
-        path = os.path.join(self.fpath, self.fname + "." + self.ftype)
-        if self.ftype == "npy":
-            from ..native import _parse_npy_header, read_npy_block
-            info = _parse_npy_header(path)
-            if info is not None and len(info[1]) == 2:
-                sl = BlockPartition(rank, self.pgrid, info[1]).slices()
-                blk = read_npy_block(path, sl[0].start, sl[0].stop,
-                                     sl[1].start, sl[1].stop)
-                if blk is not None:
-                    return blk.astype(self.precision)
-        full = _read_full(path, self.ftype)
-        sl = BlockPartition(rank, self.pgrid, full.shape).slices()
-        return np.asarray(full[sl]).astype(self.precision)
+        sl = BlockPartition(rank, self.pgrid, self._global_shape()).slices()
+        return self._read_block(sl[0].start, sl[0].stop,
+                                sl[1].start, sl[1].stop)
 
-    def read(self, ctx: Optional[GridContext] = None) -> jax.Array | np.ndarray:
+    def read(self, ctx: Optional[GridContext] = None,
+             pad_to_mesh: bool = False) -> jax.Array | np.ndarray:
         """Read and (if a mesh context is given) place as a sharded global
-        array, loading only locally-addressable blocks."""
+        array, loading only locally-addressable blocks.
+
+        ``pad_to_mesh=True`` handles uneven global shapes by zero-padding
+        INSIDE the per-block callbacks (no host ever assembles the full
+        matrix); the returned array has the padded shape and the true dims
+        land in ``self.last_global_shape`` — pass them to NMF/NMFk as
+        ``orig_shape``."""
         from . import timing
         with timing.timed("read"):
-            return self._read_impl(ctx)
+            return self._read_impl(ctx, pad_to_mesh)
 
-    def _read_impl(self, ctx):
+    def _read_impl(self, ctx, pad_to_mesh: bool = False):
         if self.ftype == "npz":
             # returned as BCOO; NMF shard-partitions the triplet itself
             # (ops/sparse.py::shard_sparse_grid) on multi-device grids
-            return self.read_global()
+            A = self.read_global()
+            self.last_global_shape = tuple(A.shape)
+            return A
         if ctx is None or ctx.n_devices == 1:
-            return self.read_global()
+            A = self.read_global()
+            self.last_global_shape = tuple(A.shape)
+            return A
         if self.ftype == "folder":
-            data = self.read_global()
-        else:
-            path = os.path.join(self.fpath, self.fname + "." + self.ftype)
-            data = _read_full(path, self.ftype)
-        shape = data.shape
+            # pre-split per-rank chunks: reassembled host-side (their
+            # remainder-balanced layout matches the reference, not XLA's
+            # even tiling)
+            A = self.read_global()
+            self.last_global_shape = tuple(A.shape)
+            return A
+
+        shape = self._global_shape()
+        self.last_global_shape = shape
         sharding = ctx.sharding_A
         p_r, p_c = ctx.shape
-        if shape[0] % p_r or shape[1] % p_c:
-            # XLA's explicit shardings require even tiling; return the host
-            # array — NMF/NMFk pad-and-mask before sharding (models/nmf.py
-            # _mesh_pad)
-            return np.asarray(data).astype(self.precision)
+        uneven = shape[0] % p_r or shape[1] % p_c
+        if uneven and not pad_to_mesh:
+            # legacy path: hand the host array to NMF/NMFk, which
+            # pad-and-mask before sharding (models/nmf.py _mesh_pad)
+            return self.read_global()
 
-        if self.ftype == "npy":
-            from ..native import read_npy_block
-            path = os.path.join(self.fpath, self.fname + "." + self.ftype)
-
-            def cb(index):
-                rs, cs = index
-                blk = read_npy_block(path, rs.start or 0, rs.stop or shape[0],
-                                     cs.start or 0, cs.stop or shape[1])
-                if blk is None:
-                    blk = np.asarray(data[index])
-                return blk.astype(self.precision)
+        m, n = shape
+        if uneven:
+            from ..parallel.partition import padded_dim
+            out_shape = (padded_dim(m, p_r), padded_dim(n, p_c))
         else:
-            def cb(index):
-                return np.asarray(data[index]).astype(self.precision)
+            out_shape = shape
 
-        return jax.make_array_from_callback(shape, sharding, cb)
+        def cb(index):
+            rs, cs = index
+            r0, r1 = rs.start or 0, rs.stop or out_shape[0]
+            c0, c1 = cs.start or 0, cs.stop or out_shape[1]
+            rr, cc = min(r1, m), min(c1, n)
+            if rr <= r0 or cc <= c0:         # fully inside the padding
+                return np.zeros((r1 - r0, c1 - c0), self.precision)
+            blk = self._read_block(r0, rr, c0, cc)
+            if rr < r1 or cc < c1:           # zero-pad the mesh remainder
+                blk = np.pad(blk, ((0, r1 - rr), (0, c1 - cc)))
+            return blk
+
+        return jax.make_array_from_callback(out_shape, sharding, cb)
 
 
 # ---------------------------------------------------------------------------

@@ -66,4 +66,44 @@ H_ref = H_h * (W_ref.T @ A_h) / (WTW @ H_h + 1.19e-7)
 want = float(W_ref.sum() + H_ref.sum())
 assert abs(got - want) < 1e-2 * abs(want), (got, want)
 
+# ---------------------------------------------------------------------------
+# mat format + UNEVEN shape via pad_to_mesh: per-host block reads only
+# (VERDICT r2 item 4; reference wart: every rank reads the whole file,
+# /root/reference/pyDNMFk/data_io.py:92-105).  read_global is banned and
+# every byte this process reads is asserted to lie inside its own blocks.
+# ---------------------------------------------------------------------------
+os.environ["PYDNMFK_CACHE_DIR"] = os.path.join(data_dir, f"cache{pid}")
+from pydnmfk_tpu.utils import io as io_mod  # noqa: E402
+
+reads = []
+_orig_rb = io_mod.DataReader._read_block
+
+
+def _spying_rb(self, r0, r1, c0, c1):
+    reads.append((r0, r1, c0, c1))
+    return _orig_rb(self, r0, r1, c0, c1)
+
+
+io_mod.DataReader._read_block = _spying_rb
+io_mod.DataReader.read_global = lambda self: (_ for _ in ()).throw(
+    AssertionError("full-file read on the multi-host path"))
+
+reader2 = io_mod.DataReader(data_dir, "B", "mat", precision="float32")
+B = reader2.read(ctx, pad_to_mesh=True)          # true shape (15, 8)
+assert B.shape == (16, 8), B.shape               # padded to the (2,1) mesh
+assert reader2.last_global_shape == (15, 8)
+assert len(B.addressable_shards) == 1
+shard = B.addressable_shards[0]
+my_rows = shard.index[0]
+lo, hi = my_rows.start or 0, my_rows.stop or 16
+# every read stayed inside this host's row range; bytes read == block size
+assert all(lo <= r0 and r1 <= min(hi, 15) for r0, r1, c0, c1 in reads), reads
+rows_read = sum(r1 - r0 for r0, r1, _, _ in reads)
+assert rows_read == min(hi, 15) - lo, (rows_read, lo, hi)
+# values match the scipy load (incl. the zero pad row on the last host)
+from scipy.io import loadmat  # noqa: E402
+B_h = np.zeros((16, 8), np.float32)
+B_h[:15] = loadmat(os.path.join(data_dir, "B.mat"))["X"].astype(np.float32)
+np.testing.assert_array_equal(np.asarray(shard.data), B_h[lo:hi])
+
 print(f"MULTIHOST_OK {pid}", flush=True)

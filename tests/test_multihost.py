@@ -21,6 +21,9 @@ def _free_port():
 def test_two_process_sharded_step(tmp_path):
     rng = np.random.default_rng(42)
     np.save(tmp_path / "A.npy", rng.random((16, 8)).astype(np.float32))
+    from scipy.io import savemat
+    savemat(tmp_path / "B.mat",
+            {"X": rng.random((15, 8)).astype(np.float32)})
 
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
