@@ -353,9 +353,11 @@ class NMF:
         a_scale = None
         if sparse_A:
             m_sol, n_sol = A.shape
-            if self.ctx.n_devices > 1:
+            if self.ctx.shape != (1, 1):
                 # grid-sharded triplet (ops/sparse.py): W row-sharded,
-                # H col-sharded — the reference's 1D/2D topologies
+                # H col-sharded — the reference's 1D/2D topologies.
+                # (p_e-only contexts keep the triplet unsharded: the
+                # ensemble axis plays no role in a single solve)
                 from ..ops.sparse import shard_sparse_grid
                 A, (m_pad, n_pad) = shard_sparse_grid(A, self.ctx)
                 if m_pad != m_sol:

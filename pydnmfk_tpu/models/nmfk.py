@@ -121,12 +121,16 @@ def _ensemble_program(ncfg: NMFConfig, b_pad: int, sampling: str,
 
 @functools.lru_cache(maxsize=32)
 def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
-                             noise_var: float, m: int, n: int):
+                             noise_var: float, m: int, n: int,
+                             ctx: Optional[GridContext] = None,
+                             shard_batch: bool = False):
     """Per-batch ensemble program for sparse (BCOO) A: members are batched
     nnz-sized data vectors over SHARED indices, vmapped through the same
     _solve body (every sparse product is a gather/segment_sum with a
-    trivial batching rule — ops/sparse.py).  Single device; the dense
-    program's mesh/Pallas/fused machinery does not apply."""
+    trivial batching rule — ops/sparse.py).  ``shard_batch`` shards the
+    member axis over the mesh 'e' axis (embarrassingly parallel — no
+    cross-device collectives); grid ('r','c') sharding lives in
+    _ensemble_program_sparse_grid."""
     from jax.experimental import sparse as jsparse
     k = ncfg.k
 
@@ -143,6 +147,16 @@ def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
         H0 = jax.vmap(lambda kk: jax.random.uniform(
             jax.random.fold_in(kk, sampler.H0_STREAM), (k, n),
             jnp.float32))(keys).astype(ncfg.dtype)
+        if shard_batch:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import ENSEMBLE_AXIS
+            sh = lambda spec: NamedSharding(ctx.mesh, spec)
+            data_ens = jax.lax.with_sharding_constraint(
+                data_ens, sh(P(ENSEMBLE_AXIS, None)))
+            W0 = jax.lax.with_sharding_constraint(
+                W0, sh(P(ENSEMBLE_AXIS, None, None)))
+            H0 = jax.lax.with_sharding_constraint(
+                H0, sh(P(ENSEMBLE_AXIS, None, None)))
         eps = jnp.asarray(ncfg.eps, ncfg.dtype)
 
         def member(d, w0, h0):
@@ -155,6 +169,73 @@ def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
                 tol_check_every=int(ncfg.tol_check_every))
 
         return jax.vmap(member)(data_ens, W0, H0)
+
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=32)
+def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
+                                  sampling: str, noise_var: float,
+                                  ctx: GridContext, m: int, n: int,
+                                  m_pad: int, n_pad: int):
+    """Per-batch ensemble program for GRID-sharded sparse A (VERDICT r2
+    item 3): members are batched block-data tensors over shared
+    GridShardedSparse indices, vmapped through _solve — vmap composes with
+    the per-block shard_map products (ops/sparse.py), so each member runs
+    the same 1D/2D collective contract as a single sparse solve.
+
+    Noise and factor-init streams are drawn on the ORIGINAL flat COO data
+    / the unpadded (m, n) dims and then gathered/padded into block layout,
+    so member statistics are identical to the single-device sparse path
+    (k-selection equality is tested on a (2,2) CPU mesh)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..ops.sparse import GridShardedSparse
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    k = ncfg.k
+    p_r, p_c = ctx.shape
+
+    def program(data_flat, perm, lrows, lcols, key, offset):
+        nnz = data_flat.shape[0]
+        keys = sampler.member_keys(key, offset, b_pad)
+        d_ens = jax.vmap(lambda kk: sampler.sample_member(
+            data_flat, sampler.member_noise_key(kk), noise_var,
+            sampling))(keys)                          # (b, nnz)
+        if d_ens.dtype != jnp.dtype(ncfg.a_dtype):
+            d_ens = d_ens.astype(ncfg.a_dtype)
+        valid = perm < nnz                            # padding slots
+        idx = jnp.minimum(perm, nnz - 1)
+        to_blocks = lambda flat: jnp.where(valid, flat[idx],
+                                           jnp.zeros((), flat.dtype))
+        d_blocks = jax.vmap(to_blocks)(d_ens)         # (b, p_r, p_c, e)
+        sh = lambda spec: NamedSharding(ctx.mesh, spec)
+        d_blocks = jax.lax.with_sharding_constraint(
+            d_blocks, sh(P(None, ROW_AXIS, COL_AXIS, None)))
+        W0 = jax.vmap(lambda kk: jax.random.uniform(
+            jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
+            jnp.float32))(keys).astype(ncfg.dtype)
+        H0 = jax.vmap(lambda kk: jax.random.uniform(
+            jax.random.fold_in(kk, sampler.H0_STREAM), (k, n),
+            jnp.float32))(keys).astype(ncfg.dtype)
+        if m_pad != m:
+            W0 = jnp.pad(W0, ((0, 0), (0, m_pad - m), (0, 0)))
+        if n_pad != n:
+            H0 = jnp.pad(H0, ((0, 0), (0, 0), (0, n_pad - n)))
+        W0 = jax.lax.with_sharding_constraint(
+            W0, sh(P(None, ROW_AXIS, None)))
+        H0 = jax.lax.with_sharding_constraint(
+            H0, sh(P(None, None, COL_AXIS)))
+        eps = jnp.asarray(ncfg.eps, ncfg.dtype)
+
+        def member(d, w0, h0):
+            Am = GridShardedSparse(d, lrows, lcols, (m_pad, n_pad),
+                                   (m_pad // p_r, n_pad // p_c), ctx.mesh)
+            return nmf_mod._solve(
+                Am, w0, h0, eps, norm=ncfg.norm.lower(),
+                method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
+                chunk=0, tol=float(ncfg.tol),
+                tol_check_every=int(ncfg.tol_check_every))
+
+        return jax.vmap(member)(d_blocks, W0, H0)
 
     return jax.jit(program)
 
@@ -242,8 +323,10 @@ class NMFk:
             if cfg.nmf.prune:
                 raise ValueError("prune is not supported with sparse A "
                                  "(pruning IS implicit in sparsity)")
-            if self.ctx.n_devices > 1:
-                raise ValueError("sparse A currently runs single-device")
+            if self.ctx.p_e > 1 and self.ctx.shape != (1, 1):
+                raise ValueError(
+                    "sparse NMFk shards over the grid axes ('r','c') OR "
+                    "the ensemble axis ('e'), not both")
             if cfg.nmf.init != "rand":
                 raise ValueError("sparse NMFk requires init='rand' (nnsvd "
                                  "needs dense A)")
@@ -277,7 +360,14 @@ class NMFk:
         else:
             self._work_shape = (tuple(orig_shape) if orig_shape
                                 else A.shape)
-        if self.ctx.n_devices > 1:
+        self._grid_sparse = None
+        if self._sparse and self.ctx.shape != (1, 1):
+            # grid-sharded triplet, built once: the ensemble batches data
+            # vectors over these shared block indices
+            from ..ops.sparse import shard_sparse_grid
+            gs, _, perm = shard_sparse_grid(A, self.ctx, return_perm=True)
+            self._grid_sparse = (gs, perm)
+        elif not self._sparse and self.ctx.n_devices > 1:
             # pad-and-mask for XLA's even-tiling requirement; downstream
             # stats stay in original coordinates (padding is appended, so
             # A_padded[:m, :n] recovers the original for the regression)
@@ -315,6 +405,9 @@ class NMFk:
             batch = auto_ensemble_batch_sparse(
                 m, n, A.nse, k, cfg.perturbations, ncfg,
                 budget=cfg.hbm_budget or None)
+            # sharded sparse: per-device member cost shrinks with the mesh
+            # (grid: block data 1/p per device; 'e': members split p_e ways)
+            batch *= self.ctx.n_devices
         else:
             batch = auto_ensemble_batch(
                 m, n, k, cfg.perturbations, ncfg,
@@ -385,10 +478,18 @@ class NMFk:
         while done < n_pert:
             b = min(batch, n_pert - done)
             b_pad = -(-b // p_e) * p_e
-            if sparse_A:
+            if sparse_A and self._grid_sparse is not None:
+                gs, perm = self._grid_sparse
+                program = _ensemble_program_sparse_grid(
+                    ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                    self.ctx, A.shape[0], A.shape[1],
+                    gs.shape[0], gs.shape[1])
+                W, H, errs = program(A.data, perm, gs.lrows, gs.lcols,
+                                     key, done)
+            elif sparse_A:
                 program = _ensemble_program_sparse(
                     ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
-                    A.shape[0], A.shape[1])
+                    A.shape[0], A.shape[1], self.ctx, p_e > 1)
                 W, H, errs = program(A.data, A.indices, key, done)
             else:
                 program = _ensemble_program(ncfg, b_pad, cfg.sampling,

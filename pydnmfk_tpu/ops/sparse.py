@@ -183,10 +183,16 @@ class GridShardedSparse:
         return self.data.shape[-1]
 
 
-def shard_sparse_grid(A, ctx):
+def shard_sparse_grid(A, ctx, return_perm: bool = False):
     """BCOO -> GridShardedSparse on ctx's (p_r, p_c) mesh.  Returns
     (sharded, (m_pad, n_pad)) — dims zero-padded to tile evenly; slice
-    factors back at the API boundary (models/nmf.py does)."""
+    factors back at the API boundary (models/nmf.py does).
+
+    ``return_perm=True`` additionally returns a (p_r, p_c, e_max) int32
+    map from block slot to ORIGINAL nnz index (padding slots = nnz): the
+    NMFk ensemble perturbs the flat COO data vector in original order and
+    gathers it into blocks through this map, so the member noise streams
+    are identical to the single-device sparse path."""
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..parallel.mesh import COL_AXIS, ROW_AXIS
@@ -201,6 +207,7 @@ def shard_sparse_grid(A, ctx):
     rows = np.asarray(A.indices[:, 0])
     cols = np.asarray(A.indices[:, 1])
     data = np.asarray(A.data)
+    nnz = data.shape[0]
     blk = (rows // br) * p_c + (cols // bc)
     counts = np.bincount(blk, minlength=p_r * p_c)
     e_max = max(int(counts.max()), 1)
@@ -211,6 +218,7 @@ def shard_sparse_grid(A, ctx):
     d_p = np.zeros((p_r, p_c, e_max), data.dtype)
     r_p = np.zeros((p_r, p_c, e_max), np.int32)
     c_p = np.zeros((p_r, p_c, e_max), np.int32)
+    perm = np.full((p_r, p_c, e_max), nnz, np.int32)
     for i in range(p_r):
         for j in range(p_c):
             s, e = starts[i * p_c + j], starts[i * p_c + j + 1]
@@ -218,11 +226,14 @@ def shard_sparse_grid(A, ctx):
             d_p[i, j, :cnt] = data[s:e]
             r_p[i, j, :cnt] = rows[s:e] - i * br
             c_p[i, j, :cnt] = cols[s:e] - j * bc
+            perm[i, j, :cnt] = order[s:e]
     sh = NamedSharding(ctx.mesh, P(ROW_AXIS, COL_AXIS, None))
     put = lambda x: jax.device_put(jnp.asarray(x), sh)
-    return GridShardedSparse(put(d_p), put(r_p), put(c_p),
-                             (m_pad, n_pad), (br, bc),
-                             ctx.mesh), (m_pad, n_pad)
+    gs = GridShardedSparse(put(d_p), put(r_p), put(c_p),
+                           (m_pad, n_pad), (br, bc), ctx.mesh)
+    if return_perm:
+        return gs, (m_pad, n_pad), put(perm)
+    return gs, (m_pad, n_pad)
 
 
 def _gs_shard_map(fn, A, in_extra, out_spec):

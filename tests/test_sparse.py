@@ -159,6 +159,64 @@ def test_sparse_nmfk_selects_true_k(tmp_path, norm):
     assert NMFk(cfg).fit(Asp) == ktrue
 
 
+def _planted_sparse(m=80, n=60, ktrue=3, seed=7):
+    rng = np.random.default_rng(seed)
+    W = np.zeros((m, ktrue))
+    for i in range(ktrue):
+        c = (i + 0.5) * m / ktrue
+        W[:, i] = np.exp(-0.5 * ((np.arange(m) - c) / (0.06 * m)) ** 2)
+    H = rng.random((ktrue, n)) + 0.1
+    A = (W @ H).astype(np.float32) * (rng.random((m, n)) < 0.5)
+    return sparse.BCOO.fromdense(jnp.asarray(A))
+
+
+@pytest.mark.parametrize("grid,p_e", [((2, 2), 1), ((4, 1), 1), ((1, 1), 4)])
+def test_sparse_nmfk_multidevice_matches_single(tmp_path, grid, p_e):
+    """Multi-device sparse NMFk (VERDICT r2 item 3): the ensemble over
+    grid-sharded triplets (or members sharded over 'e') selects the same k
+    as the single-device run with near-identical statistics — noise and
+    init streams are drawn in flat-COO/unpadded order, so members match up
+    to mesh-padding eps effects."""
+    from pydnmfk_tpu.config import NMFkConfig
+    from pydnmfk_tpu.models.nmfk import NMFk
+    from pydnmfk_tpu.parallel.mesh import grid_context
+
+    Asp = _planted_sparse(m=78, n=60)       # uneven over (2,2)/(4,1) rows
+    mk = lambda sub: NMFkConfig(
+        nmf=NMFConfig(k=0, norm="fro", method="mu", itr=250, init="rand",
+                      seed=42),
+        start_k=2, end_k=4, perturbations=4, noise_var=0.03, sill_thr=0.6,
+        results_path=str(tmp_path / sub) + "/", fname="sp",
+        checkpoint=False)
+
+    single = NMFk(mk("single"), grid_context(1, 1))
+    nopt1 = single.fit(Asp)
+    multi = NMFk(mk("multi"), grid_context(*grid, p_e))
+    noptG = multi.fit(Asp)
+    assert noptG == nopt1 == 3
+    for k in (2, 3, 4):
+        s1, sg = single.per_k_stats[k], multi.per_k_stats[k]
+        np.testing.assert_allclose(sg["avgErr"], s1["avgErr"], rtol=1e-3)
+        np.testing.assert_allclose(
+            sg["clusterSilhouetteCoefficients"],
+            s1["clusterSilhouetteCoefficients"], atol=5e-3)
+        np.testing.assert_allclose(sg["L_err"], s1["L_err"],
+                                   rtol=2e-2, atol=2e-3)
+
+
+def test_sparse_nmfk_rejects_mixed_sharding(tmp_path):
+    from pydnmfk_tpu.config import NMFkConfig
+    from pydnmfk_tpu.models.nmfk import NMFk
+    from pydnmfk_tpu.parallel.mesh import grid_context
+    _, Asp = _sparse_lowrank(16, 12, 2)
+    cfg = NMFkConfig(nmf=NMFConfig(norm="fro", method="mu", itr=20),
+                     start_k=2, end_k=2, perturbations=2,
+                     results_path=str(tmp_path), fname="mx",
+                     checkpoint=False)
+    with pytest.raises(ValueError, match="not both"):
+        NMFk(cfg, grid_context(2, 1, 2)).fit(Asp)
+
+
 def test_sparse_nmfk_rejects_unsupported(tmp_path):
     from pydnmfk_tpu.config import NMFkConfig
     from pydnmfk_tpu.models.nmfk import NMFk
