@@ -162,11 +162,89 @@ def main():
                 f"WH_{mm}x{mm}_k{mk}_mfu",
                 dt, mm, mm, mk, mfu_iters, PEAK_BF16))
 
+        # ---- flagship-geometry north-star rows (VERDICT r2): the
+        # reference's own 57600x38400 shape at k=256, where the MXU can
+        # be fed — FRO and the chunked KL (the 71%-MFU result previously
+        # only in tools/kl_k128_probe.py), both through solve() ----
+        if on_tpu:
+            k2 = 256
+            kW2, kH2 = jax.random.split(jax.random.fold_in(key, 99))
+            W2 = jax.random.uniform(kW2, (m, k2), jnp.float32)
+            H2 = jax.random.uniform(kH2, (k2, n), jnp.float32)
+            Ab = A.astype(jnp.bfloat16)
+            del A            # k=256 temps don't fit next to A (f32) + Ab
+            cfg = base.replace(k=k2, a_precision="bfloat16")
+            dt = time_solve(Ab, W2, H2, cfg)
+            rows.append(make_row(f"fro_mu_bf16A_{m}x{n}_k{k2}_flagship",
+                                 dt, m, n, k2, ITERS, PEAK_BF16))
+            cfg = base.replace(k=k2, norm="kl", a_precision="bfloat16",
+                               kl_chunk=4096, use_fused=False)
+            dt = time_solve(Ab, W2, H2, cfg)
+            rows.append(make_row(
+                f"kl_mu_chunked_bf16A_{m}x{n}_k{k2}_flagship", dt, m, n,
+                k2, ITERS, PEAK_BF16, flop_factor=8.0))
+            del Ab, W2, H2
+
+        # ---- sparse rows: the ELL gather path (ops/ell.py) in its two
+        # regimes — (a) below the measured ~0.15% density crossover it
+        # beats the densified MXU path; (b) beyond the dense HBM budget
+        # it is the only single-chip option (used to raise) ----
+        if on_tpu:
+            import numpy as np
+            from jax.experimental import sparse as jsparse
+            from pydnmfk_tpu.ops.ell import ell_pack
+
+            def sparse_coo(ms, ns, nnz, seed=3):
+                rng = np.random.default_rng(seed)
+                flat = rng.choice(ms * ns, size=nnz, replace=False)
+                idx = np.stack([flat // ns, flat % ns], 1).astype(np.int32)
+                vals = rng.random(nnz, np.float32) + 0.1
+                bc = jsparse.BCOO((jnp.asarray(vals), jnp.asarray(idx)),
+                                  shape=(ms, ns), unique_indices=True)
+                return bc.sort_indices()
+
+            ms = ns = 40000      # dense f32 = 6.4 GB: streaming it twice
+            nnz = 320_000        # per iter is the cost ELL avoids
+            Asp = sparse_coo(ms, ns, nnz)
+            E = ell_pack(Asp)
+            kWs, kHs = jax.random.split(jax.random.fold_in(key, 7))
+            Ws = jax.random.uniform(kWs, (ms, K), jnp.float32)
+            Hs = jax.random.uniform(kHs, (K, ns), jnp.float32)
+            cfg = base.replace(k=K)
+            dt_e = time_solve(E, Ws, Hs, cfg)
+            dense = jnp.zeros((ms, ns), jnp.float32).at[
+                Asp.indices[:, 0], Asp.indices[:, 1]].set(Asp.data)
+            dt_d = time_solve(dense, Ws, Hs, cfg)
+            del dense
+            rows.append({
+                "metric": f"sparse_ell_vs_dense_{ms}x{ns}_nnz3e5_k{K}",
+                "value": round(dt_e, 4), "unit": "s",
+                "dense_s": round(dt_d, 4),
+                "speedup_vs_densified": round(dt_d / dt_e, 2)})
+            # beyond-HBM capability: 1e10 elements (40 GB f32) at 2e-5
+            mb = nb = 100_000
+            Asp = sparse_coo(mb, nb, 2_000_000, seed=4)
+            E = ell_pack(Asp)
+            kWs, kHs = jax.random.split(jax.random.fold_in(key, 8))
+            Ws = jax.random.uniform(kWs, (mb, K), jnp.float32)
+            Hs = jax.random.uniform(kHs, (K, nb), jnp.float32)
+            dt_e = time_solve(E, Ws, Hs, cfg)
+            rows.append({
+                "metric": f"sparse_ell_beyond_hbm_{mb}x{nb}_nnz2e6_k{K}",
+                "value": round(dt_e, 4), "unit": "s",
+                "note": "dense f32 would need 40 GB; ELL runs in O(nnz)"})
+
     headline["rows"] = rows
     print(json.dumps(headline))
     for r in rows:
-        print(f"# {r['metric']}: {r['value']}s  {r['gflops']} GFLOP/s  "
-              f"mfu={r['mfu_pct']}%", file=sys.stderr)
+        if "gflops" in r:
+            print(f"# {r['metric']}: {r['value']}s  {r['gflops']} GFLOP/s "
+                  f" mfu={r['mfu_pct']}%", file=sys.stderr)
+        else:
+            print(f"# {r['metric']}: {r['value']}s  "
+                  + " ".join(f"{k2}={v}" for k2, v in r.items()
+                             if k2 not in ("metric", "value", "unit")),
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -150,7 +150,8 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
     pyDNMFk.py:226-231, becomes one compiled batch)."""
     if linalg.is_sparse(A):
         from ..ops.sparse import densify_for_backend
-        A = densify_for_backend(A)   # TPU: scatter lowering is impractical
+        # TPU: dense MXU vs ELL gather, picked by the measured cost model
+        A = densify_for_backend(A, k_hint=cfg.k)
     sh = getattr(A, "sharding", None)
     single_shard = getattr(sh, "num_devices", 1) <= 1
     sparse_A = linalg.is_sparse(A)
@@ -188,6 +189,7 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                      and not batched and not sparse_A
                      and cfg.method.lower() == "mu"
                      and cfg.norm.lower() == "fro"
+                     and W.shape[-1] <= 64   # (k,n) f32 VMEM accumulator
                      and (A.dtype == jnp.bfloat16
                           or (jnp.issubdtype(A.dtype, jnp.integer)
                               and jnp.dtype(A.dtype).itemsize == 1)))
@@ -298,7 +300,9 @@ class NMF:
         cfg = self.cfg
         if linalg.is_sparse(A):
             from ..ops.sparse import densify_for_backend
-            A = densify_for_backend(A)
+            # multi-device grids take the sharded-triplet path, not ELL
+            A = densify_for_backend(
+                A, allow_ell=(self.ctx.shape == (1, 1)), k_hint=cfg.k)
         sparse_A = linalg.is_sparse(A)
         if sparse_A:
             if cfg.prune:

@@ -317,7 +317,11 @@ class NMFk:
                 "the ensemble")
         if linalg.is_sparse(A):
             from ..ops.sparse import densify_for_backend
-            A = densify_for_backend(A)   # non-CPU: dense MXU path is faster
+            # the batched ensemble multiplies ELL's gather cost per member;
+            # moderate densities densify (faster on the MXU), and the
+            # sharded-triplet/CPU paths keep the BCOO
+            A = densify_for_backend(A, allow_ell=False,
+                                    k_hint=cfg.end_k)
         self._sparse = linalg.is_sparse(A)
         if self._sparse:
             if cfg.nmf.prune:
@@ -460,6 +464,7 @@ class NMFk:
             use_fused = (jax.default_backend() == "tpu" and single_shard
                          and ncfg.method.lower() == "mu"
                          and ncfg.norm.lower() == "fro"
+                         and k <= 64     # (k,n) f32 VMEM accumulator
                          and jnp.dtype(ncfg.a_dtype) == jnp.bfloat16)
         use_fused = bool(use_fused) and single_shard and not sparse_A
 

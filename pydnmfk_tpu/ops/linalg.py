@@ -103,8 +103,11 @@ def gram_t(X: jax.Array) -> jax.Array:
 def matmul_WTA(W: jax.Array, A: jax.Array) -> jax.Array:
     """W^T A -> (k, n), sharded like H.  psum over 'r'."""
     if is_sparse(A):
+        from .ell import EllSparse, ell_wt_a
         from .sparse import (GridShardedSparse, nnz_chunk_size, rs_wt_a,
                              wt_a_bcoo)
+        if isinstance(A, EllSparse):
+            return ell_wt_a(A, W)
         if isinstance(A, GridShardedSparse):
             return rs_wt_a(A, W)
         return wt_a_bcoo(A, W, nnz_chunk_size(A.nse, W.shape[1]))
@@ -114,8 +117,11 @@ def matmul_WTA(W: jax.Array, A: jax.Array) -> jax.Array:
 def matmul_AHT(A: jax.Array, H: jax.Array) -> jax.Array:
     """A H^T -> (m, k), sharded like W.  psum over 'c'."""
     if is_sparse(A):
+        from .ell import EllSparse, ell_a_ht
         from .sparse import (GridShardedSparse, a_ht_bcoo, nnz_chunk_size,
                              rs_a_ht)
+        if isinstance(A, EllSparse):
+            return ell_a_ht(A, H)
         if isinstance(A, GridShardedSparse):
             return rs_a_ht(A, H)
         return a_ht_bcoo(A, H, nnz_chunk_size(A.nse, H.shape[0]))
@@ -298,13 +304,16 @@ def _sparse_relative_error(A, W, H):
 
 
 def _sparse_column_error(A, W, H):
+    from .ell import EllSparse, ell_col_sqsum
     from .sparse import GridShardedSparse, col_sqsum, rs_col_sqsum
     acc = _acc_dtype(A.data)
     WTA = matmul_WTA(W, A).astype(acc)
     cross = jnp.sum(H.astype(acc) * WTA, axis=0)              # (n,)
     WTW = gram(W).astype(acc)
     wh2 = jnp.sum(H.astype(acc) * matmul(WTW, H.astype(acc)), axis=0)
-    if isinstance(A, GridShardedSparse):
+    if isinstance(A, EllSparse):
+        a2 = ell_col_sqsum(A)
+    elif isinstance(A, GridShardedSparse):
         a2 = rs_col_sqsum(A, A.shape[1])
     else:
         a2 = col_sqsum(A.data, A.indices[:, 1], A.shape[1])   # (n,)

@@ -351,41 +351,79 @@ def rs_col_sqsum(A, n: int):
 # ---------------------------------------------------------------------------
 # backend dispatch: sparse-as-compute only pays on CPU
 # ---------------------------------------------------------------------------
-def densify_for_backend(A, budget_frac: float = 0.45):
-    """On non-CPU backends, convert a sparse A to dense on the host.
+def densify_for_backend(A, budget_frac: float = 0.45, allow_ell: bool = True,
+                        k_hint: int = 32):
+    """Pick the TPU execution format for a sparse A (measurement-driven —
+    tools/sparse_probe.py on the v5e, docs/PERFORMANCE.md):
 
-    Measured on the v5e: XLA's TPU scatter lowering executes the
-    segment_sum products orders of magnitude slower than the MXU dense
-    path (a 1024x256 KL solve that takes seconds dense did not finish in
-    14 minutes sparse), so on TPU sparse input is treated as a *storage*
-    format and the dense solver runs.  Guarded by the device memory
-    budget: if the densified matrix cannot fit, the error tells the user
-    to run the CPU backend, where the gather/segment triplet path is
-    efficient.  A true TPU SpMM needs a Pallas kernel (docs/ROADMAP.md).
-    """
+    * element-level products are gather-bound at ~0.25 Gnnz/s (segment_sum
+      scatter: 0.086) vs the MXU dense path streaming A at HBM bandwidth —
+      dense wins above ~0.3% density (k=32), so moderate-density input
+      densifies (it is FASTER, not just simpler);
+    * below the crossover the dual-ELL gather path (ops/ell.py) wins and
+      is kept sparse;
+    * when even a dense bf16 A cannot fit the HBM budget, ELL runs the
+      beyond-HBM regime with O(nnz) memory (this used to raise).
+
+    The dtype ladder densifies f32 input to bf16 when only bf16 fits
+    (errors floor at bf16's ~3-digit resolution — same trade as
+    a_precision='bfloat16').  CPU keeps the triplet path, which is
+    efficient there.  ``allow_ell=False`` restores densify-or-raise (the
+    NMFk ensemble batches members, where ELL's gather cost multiplies)."""
     from .linalg import is_sparse
-    if not is_sparse(A) or isinstance(A, GridShardedSparse):
-        return A                      # already committed to the triplet path
+    from .ell import EllSparse
+    if (not is_sparse(A) or isinstance(A, GridShardedSparse)
+            or isinstance(A, EllSparse)):
+        return A                      # already committed to a format
     import jax
     if jax.default_backend() == "cpu":
         return A
     from ..utils.memory import device_memory_budget
+    from .ell import ell_pack, ell_time_model
     import numpy as np
     m, n = A.shape
-    need = m * n * jnp.dtype(A.data.dtype).itemsize
-    budget = device_memory_budget()
-    if need > budget_frac * budget:
-        raise ValueError(
-            f"sparse A would densify to {need / 1e9:.2f} GB "
-            f"(> {budget_frac:.0%} of the {budget / 1e9:.0f} GB device "
-            "budget). The XLA TPU scatter lowering makes the sparse "
-            "triplet path impractical on TPU; run on the CPU backend "
-            "(jax.config.update('jax_platforms', 'cpu') / --cpu) where "
-            "the gather/segment path is efficient.")
-    dense = np.zeros(A.shape, A.data.dtype)
-    dense[np.asarray(A.indices[:, 0]),
-          np.asarray(A.indices[:, 1])] = np.asarray(A.data)
-    return jnp.asarray(dense)
+    a_bytes = jnp.dtype(A.data.dtype).itemsize
+    need = m * n * a_bytes
+    budget = budget_frac * device_memory_budget()
+
+    t_ell, t_dense = ell_time_model(m, n, A.nse, k_hint, a_bytes)
+    if allow_ell and t_ell < t_dense:
+        ell = ell_pack(A)
+        if ell is not None:
+            return ell                # very sparse: gather path wins
+
+    if need <= budget:
+        dense = np.zeros(A.shape, A.data.dtype)
+        dense[np.asarray(A.indices[:, 0]),
+              np.asarray(A.indices[:, 1])] = np.asarray(A.data)
+        return jnp.asarray(dense)
+    if a_bytes > 2 and m * n * 2 <= budget:
+        import warnings
+        warnings.warn(
+            f"sparse A densified to bfloat16 ({m * n * 2 / 1e9:.2f} GB; "
+            f"f32 would exceed the {budget / 1e9:.1f} GB budget) — "
+            "reconstruction errors floor at bf16 resolution")
+        dense = np.zeros(A.shape, np.float32)
+        dense[np.asarray(A.indices[:, 0]),
+              np.asarray(A.indices[:, 1])] = np.asarray(A.data)
+        return jnp.asarray(dense, jnp.bfloat16)
+    if allow_ell:
+        ell = ell_pack(A)
+        if ell is not None:
+            import warnings
+            warnings.warn(
+                f"sparse A exceeds the dense HBM budget even at bf16 "
+                f"({m * n * 2 / 1e9:.1f} GB > {budget / 1e9:.1f} GB); "
+                "running the ELL gather path (memory O(nnz), throughput "
+                "gather-bound — docs/PERFORMANCE.md)")
+            return ell
+    raise ValueError(
+        f"sparse A would densify to {need / 1e9:.2f} GB "
+        f"(> {budget / 1e9:.1f} GB of the device budget) and its "
+        "row/column nnz distribution is too skewed for ELL packing. "
+        "Options: a multi-device grid (triplet blocks shrink with the "
+        "mesh), or the CPU backend (jax.config.update('jax_platforms', "
+        "'cpu') / --cpu) where the gather/segment path is efficient.")
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,7 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
                 "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
                 "pred": 1}
 _COLL_RE = None
+_SHAPE_RE = None
 
 
 def collective_stats(fn, *args) -> Dict[str, object]:
@@ -110,27 +111,33 @@ def collective_stats(fn, *args) -> Dict[str, object]:
 
     Returns ``{"counts": {kind: n}, "bytes": total_output_bytes}``.  Pass an
     already-jitted function or a plain callable plus example args.
+    XLA's all-reduce combiner merges collectives into tuple-shaped ops;
+    every tuple operand is summed (the round-2 version counted only the
+    first — a silent undercount on any real update step).
     """
     import re
-    global _COLL_RE
+    global _COLL_RE, _SHAPE_RE
     if _COLL_RE is None:
-        # matches sync and async ('-start') forms; tuple-shaped outputs
-        # count the first operand's bytes (a lower bound)
+        # result type (scalar or tuple) between '=' and the op name;
+        # sync and async '-start' forms ('-done' repeats the shape and is
+        # excluded so nothing double-counts)
         _COLL_RE = re.compile(
-            r"=\s*\(?([a-z0-9]+)\[([\d,]*)\][^\n]*?\b(" +
+            r"=\s*(\([^)]*\)|[a-z0-9]+\[[\d,]*\]\S*)\s+(" +
             "|".join(_COLLECTIVE_KINDS) + r")(?:-start)?\(")
+        _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([\d,]*)\]")
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
     txt = jitted.lower(*args).compile().as_text()
     counts = {k: 0 for k in _COLLECTIVE_KINDS}
     total = 0
     for m in _COLL_RE.finditer(txt):
-        dt, dims, kind = m.groups()
+        result_ty, kind = m.groups()
         counts[kind] += 1
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * _DTYPE_BYTES.get(dt, 4)
+        for dt, dims in _SHAPE_RE.findall(result_ty):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * _DTYPE_BYTES.get(dt, 4)
     return {"counts": {k: v for k, v in counts.items() if v},
             "bytes": total}
 

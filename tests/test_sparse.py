@@ -267,22 +267,115 @@ def test_sparse_npz_cli_and_runner(tmp_path):
 
 
 def test_densify_for_backend(monkeypatch):
-    """On non-CPU backends sparse input auto-densifies (TPU scatter
-    lowering is impractically slow — measured on hardware); guarded by the
-    device memory budget with a CPU-pointing error."""
+    """Measurement-driven TPU format policy (tools/sparse_probe.py): dense
+    MXU above the gather crossover, bf16 ladder when f32 misses the
+    budget, ELL beyond that, raise only when ELL can't pack."""
     from pydnmfk_tpu.ops import sparse as sp_ops
+    from pydnmfk_tpu.ops.ell import EllSparse
     A, Asp = _sparse_lowrank(20, 12, 2, density=0.4, seed=11)
     # CPU backend: passthrough, stays sparse
     assert linalg.is_sparse(sp_ops.densify_for_backend(Asp))
-    # pretend-TPU: dense round-trip
+    # pretend-TPU: moderate density -> dense round-trip (MXU wins)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     out = sp_ops.densify_for_backend(Asp)
     assert not linalg.is_sparse(out)
     np.testing.assert_allclose(np.asarray(out), A, rtol=1e-6)
-    # budget guard
+    # f32 misses the budget but bf16 fits -> bf16 dense (with a warning)
+    monkeypatch.setenv("PYDNMFK_HBM_BUDGET", str(20 * 12 * 4 * 2 - 1))
+    with pytest.warns(UserWarning, match="bfloat16"):
+        out = sp_ops.densify_for_backend(Asp)
+    assert out.dtype == jnp.bfloat16
+    # nothing dense fits -> ELL keeps it sparse (used to raise)
     monkeypatch.setenv("PYDNMFK_HBM_BUDGET", "100")
+    with pytest.warns(UserWarning, match="ELL"):
+        out = sp_ops.densify_for_backend(Asp)
+    assert isinstance(out, EllSparse)
+    # ELL disallowed (the NMFk ensemble) -> the old CPU-pointing error
     with pytest.raises(ValueError, match="CPU backend"):
-        sp_ops.densify_for_backend(Asp)
+        sp_ops.densify_for_backend(Asp, allow_ell=False)
+
+
+def test_densify_prefers_ell_in_win_regime(monkeypatch):
+    """Very sparse input with LARGE m*n stays ELL on TPU even when dense
+    would fit — streaming the dense A costs more than the gathers there
+    (measured cost model, ops/ell.py::ell_time_model); small matrices
+    densify regardless of density (per-call floors dominate)."""
+    from pydnmfk_tpu.ops import sparse as sp_ops
+    from pydnmfk_tpu.ops.ell import EllSparse
+    rng = np.random.default_rng(0)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("PYDNMFK_HBM_BUDGET", str(16 << 30))
+
+    def coo(m, n, nnz):
+        flat = rng.choice(m * n, nnz, replace=False)
+        idx = np.stack([flat // n, flat % n], 1).astype(np.int32)
+        bc = sparse.BCOO((jnp.asarray(rng.random(nnz, np.float32)),
+                          jnp.asarray(idx)), shape=(m, n),
+                         unique_indices=True)
+        return bc.sort_indices()
+
+    # 2.5e9 elements (dense f32 = 10 GB streams slowly), 100k nnz -> ELL
+    out = sp_ops.densify_for_backend(coo(50_000, 50_000, 100_000),
+                                     k_hint=32)
+    assert isinstance(out, EllSparse)
+    # small matrix, same density: dense (per-call floor dominates)
+    out = sp_ops.densify_for_backend(coo(2000, 2000, 200), k_hint=32)
+    assert not linalg.is_sparse(out)
+
+
+def test_ell_products_match_dense():
+    from pydnmfk_tpu.ops.ell import ell_pack, ell_a_ht, ell_wt_a, \
+        ell_kl_uht, ell_kl_wtu, ell_col_sqsum
+    rng = np.random.default_rng(5)
+    A, Asp = _sparse_lowrank(50, 30, 3, density=0.15, seed=5)
+    E = ell_pack(Asp)
+    assert E is not None and E.nse == Asp.nse
+    W = jnp.asarray(rng.random((50, 4)), jnp.float32)
+    H = jnp.asarray(rng.random((4, 30)), jnp.float32)
+    Aj = jnp.asarray(A)
+    np.testing.assert_allclose(np.asarray(ell_a_ht(E, H)),
+                               np.asarray(Aj @ H.T), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ell_wt_a(E, W)),
+                               np.asarray(W.T @ Aj), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ell_col_sqsum(E)),
+                               np.sum(A * A, axis=0), rtol=1e-5)
+    eps = 1e-7
+    U = np.where(A > 0, A / (np.asarray(W @ H) + eps), 0.0)
+    np.testing.assert_allclose(np.asarray(ell_kl_uht(E, W, H, eps)),
+                               U @ np.asarray(H.T), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ell_kl_wtu(E, W, H, eps)),
+                               np.asarray(W.T) @ U, rtol=1e-4)
+    # error identities route through the ELL dispatchers
+    np.testing.assert_allclose(
+        float(linalg.relative_error(E, W, H)),
+        float(linalg.relative_error(Aj, W, H)), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(linalg.column_error(E, W, H)),
+        np.asarray(linalg.column_error(Aj, W, H)), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("norm", ["fro", "kl"])
+def test_ell_solve_matches_dense(norm):
+    """Full MU solve on an EllSparse A tracks the dense solve."""
+    from pydnmfk_tpu.ops.ell import ell_pack
+    A, Asp = _sparse_lowrank(48, 36, 3, density=0.2, seed=9)
+    E = ell_pack(Asp)
+    cfg = NMFConfig(k=3, norm=norm, method="mu", itr=300, seed=100)
+    W1, H1, e1 = NMF(cfg).fit(jnp.asarray(A))
+    W2, H2, e2 = NMF(cfg).fit(E)
+    np.testing.assert_allclose(e2, e1, atol=2e-3)
+
+
+def test_ell_pack_rejects_skew():
+    from pydnmfk_tpu.ops.ell import ell_pack
+    # one dense row in an otherwise near-empty matrix: per-row widths are
+    # (300, 1, ..., 1) -> blowup guard trips
+    m, n = 200, 300
+    dense = np.zeros((m, n), np.float32)
+    dense[0, :] = 1.0
+    dense[np.arange(1, m), np.arange(1, m) % n] = 1.0
+    Asp = sparse.BCOO.fromdense(jnp.asarray(dense))
+    assert ell_pack(Asp) is None
 
 
 # ---------------------------------------------------------------------------
