@@ -212,8 +212,12 @@ def main():
             Hs = jax.random.uniform(kHs, (K, ns), jnp.float32)
             cfg = base.replace(k=K)
             dt_e = time_solve(E, Ws, Hs, cfg)
-            dense = jnp.zeros((ms, ns), jnp.float32).at[
-                Asp.indices[:, 0], Asp.indices[:, 1]].set(Asp.data)
+            # densify on the host: device scatter would hold 2x A in HBM
+            dense_np = np.zeros((ms, ns), np.float32)
+            dense_np[np.asarray(Asp.indices[:, 0]),
+                     np.asarray(Asp.indices[:, 1])] = np.asarray(Asp.data)
+            dense = jnp.asarray(dense_np)
+            del dense_np
             dt_d = time_solve(dense, Ws, Hs, cfg)
             del dense
             rows.append({

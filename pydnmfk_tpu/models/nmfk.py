@@ -174,6 +174,56 @@ def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
 
 
 @functools.lru_cache(maxsize=32)
+def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
+                                 sampling: str, noise_var: float,
+                                 m: int, n: int):
+    """Per-batch ensemble program for ELL-format sparse A (the TPU
+    very-sparse / beyond-HBM regime, ops/ell.py): members perturb the
+    flat COO data vector (identical noise streams to the BCOO path) and
+    gather it into BOTH ELL orientations through the slot->nnz perms,
+    then vmap through _solve — every ELL product is take + einsum with a
+    trivial batching rule."""
+    from ..ops.ell import EllSparse
+    k = ncfg.k
+
+    def program(data_flat, rcols, crows, rperm, cperm, key, offset):
+        nnz = data_flat.shape[0]
+        keys = sampler.member_keys(key, offset, b_pad)
+        d_ens = jax.vmap(lambda kk: sampler.sample_member(
+            data_flat, sampler.member_noise_key(kk), noise_var,
+            sampling))(keys)                          # (b, nnz)
+        if d_ens.dtype != jnp.dtype(ncfg.a_dtype):
+            d_ens = d_ens.astype(ncfg.a_dtype)
+
+        def orient(flat, perm):
+            return jnp.where(perm < nnz,
+                             flat[jnp.minimum(perm, nnz - 1)],
+                             jnp.zeros((), flat.dtype))
+
+        rvals_b = jax.vmap(lambda f: orient(f, rperm))(d_ens)
+        cvals_b = jax.vmap(lambda f: orient(f, cperm))(d_ens)
+        W0 = jax.vmap(lambda kk: jax.random.uniform(
+            jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
+            jnp.float32))(keys).astype(ncfg.dtype)
+        H0 = jax.vmap(lambda kk: jax.random.uniform(
+            jax.random.fold_in(kk, sampler.H0_STREAM), (k, n),
+            jnp.float32))(keys).astype(ncfg.dtype)
+        eps = jnp.asarray(ncfg.eps, ncfg.dtype)
+
+        def member(rv, cv, w0, h0):
+            Am = EllSparse(rv, rcols, cv, crows, (m, n), nnz)
+            return nmf_mod._solve(
+                Am, w0, h0, eps, norm=ncfg.norm.lower(),
+                method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
+                chunk=0, tol=float(ncfg.tol),
+                tol_check_every=int(ncfg.tol_check_every))
+
+        return jax.vmap(member)(rvals_b, cvals_b, W0, H0)
+
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=32)
 def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
                                   sampling: str, noise_var: float,
                                   ctx: GridContext, m: int, n: int,
@@ -315,13 +365,22 @@ class NMFk:
                 "the NMFk ensemble perturbs A multiplicatively and would "
                 "re-round every member — use a_precision='bfloat16' for "
                 "the ensemble")
+        self._ell = None
         if linalg.is_sparse(A):
+            from ..ops.ell import EllSparse, ell_pack
             from ..ops.sparse import densify_for_backend
-            # the batched ensemble multiplies ELL's gather cost per member;
-            # moderate densities densify (faster on the MXU), and the
-            # sharded-triplet/CPU paths keep the BCOO
-            A = densify_for_backend(A, allow_ell=False,
-                                    k_hint=cfg.end_k)
+            # single-device TPU: the measured policy picks dense-MXU vs
+            # the ELL gather path (dense/ELL member costs scale with the
+            # batch identically, so the single-solve crossover holds);
+            # multi-device grids and CPU keep the BCOO triplet paths
+            fmt = densify_for_backend(
+                A, allow_ell=(self.ctx.n_devices == 1), k_hint=cfg.end_k)
+            if isinstance(fmt, EllSparse):
+                # keep the BCOO: members perturb its flat data vector and
+                # run as ELL through the slot->nnz perms
+                self._ell = ell_pack(A, return_perms=True)
+            else:
+                A = fmt
         self._sparse = linalg.is_sparse(A)
         if self._sparse:
             if cfg.nmf.prune:
@@ -491,6 +550,13 @@ class NMFk:
                     gs.shape[0], gs.shape[1])
                 W, H, errs = program(A.data, perm, gs.lrows, gs.lcols,
                                      key, done)
+            elif sparse_A and self._ell is not None:
+                E, rperm, cperm = self._ell
+                program = _ensemble_program_sparse_ell(
+                    ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                    A.shape[0], A.shape[1])
+                W, H, errs = program(A.data, E.rcols, E.crows,
+                                     rperm, cperm, key, done)
             elif sparse_A:
                 program = _ensemble_program_sparse(
                     ncfg, b_pad, cfg.sampling, float(cfg.noise_var),

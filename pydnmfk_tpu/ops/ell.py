@@ -73,11 +73,17 @@ class EllSparse:
                          self.shape, self.nse)
 
 
-def ell_pack(A, max_blowup: float = 4.0):
+def ell_pack(A, max_blowup: float = 4.0, return_perms: bool = False):
     """BCOO -> EllSparse on the host.  Returns None when the row/column
     nnz distribution is too skewed (max width > max_blowup * mean + 8):
     the padded storage would defeat the point of sparsity — callers fall
-    back to the densify ladder."""
+    back to the densify ladder.
+
+    ``return_perms=True`` additionally returns (rperm (m, w_r),
+    cperm (n, w_c)): ELL slot -> ORIGINAL nnz index maps (padding slots =
+    nnz).  The NMFk ensemble perturbs the flat COO data vector and
+    gathers it into both orientations through these, keeping member noise
+    streams identical to the BCOO path."""
     import numpy as np
     m, n = A.shape
     rows = np.asarray(A.indices[:, 0])
@@ -87,7 +93,7 @@ def ell_pack(A, max_blowup: float = 4.0):
     if nnz == 0:
         return None
 
-    def pack(keys, others, vals, dim, other_dim):
+    def pack(keys, others, vals, dim):
         counts = np.bincount(keys, minlength=dim)
         w = max(int(counts.max()), 1)
         if w > max_blowup * max(nnz / dim, 1.0) + 8:
@@ -99,16 +105,21 @@ def ell_pack(A, max_blowup: float = 4.0):
         slot = np.arange(nnz) - starts[ks]
         v = np.zeros((dim, w), vals.dtype)
         i = np.zeros((dim, w), np.int32)
+        p = np.full((dim, w), nnz, np.int32)
         v[ks, slot] = vs
         i[ks, slot] = os_
-        return v, i
+        p[ks, slot] = order
+        return v, i, p
 
-    r = pack(rows, cols, vals, m, n)
-    c = pack(cols, rows, vals, n, m)
+    r = pack(rows, cols, vals, m)
+    c = pack(cols, rows, vals, n)
     if r is None or c is None:
         return None
-    return EllSparse(jnp.asarray(r[0]), jnp.asarray(r[1]),
-                     jnp.asarray(c[0]), jnp.asarray(c[1]), (m, n), nnz)
+    E = EllSparse(jnp.asarray(r[0]), jnp.asarray(r[1]),
+                  jnp.asarray(c[0]), jnp.asarray(c[1]), (m, n), nnz)
+    if return_perms:
+        return E, jnp.asarray(r[2]), jnp.asarray(c[2])
+    return E
 
 
 # ---------------------------------------------------------------------------

@@ -204,6 +204,48 @@ def test_sparse_nmfk_multidevice_matches_single(tmp_path, grid, p_e):
                                    rtol=2e-2, atol=2e-3)
 
 
+def test_sparse_nmfk_ell_mode_matches_bcoo(tmp_path, monkeypatch):
+    """NMFk with the ELL member format (the TPU very-sparse/beyond-HBM
+    regime) selects the same k with near-identical stats as the BCOO
+    triplet path — members perturb the same flat data vector, so noise
+    streams are identical and only summation order differs."""
+    from pydnmfk_tpu.config import NMFkConfig
+    from pydnmfk_tpu.models import nmfk as nmfk_mod
+    from pydnmfk_tpu.models.nmfk import NMFk
+    from pydnmfk_tpu.ops.ell import ell_pack
+
+    Asp = _planted_sparse(m=80, n=60)
+    mk = lambda sub: NMFkConfig(
+        nmf=NMFConfig(k=0, norm="fro", method="mu", itr=250, init="rand",
+                      seed=42),
+        start_k=2, end_k=4, perturbations=4, noise_var=0.03, sill_thr=0.6,
+        results_path=str(tmp_path / sub) + "/", fname="sp",
+        checkpoint=False)
+
+    bcoo = NMFk(mk("bcoo"))
+    nopt_b = bcoo.fit(Asp)
+
+    # force the ELL decision (on CPU the policy keeps BCOO)
+    monkeypatch.setattr(
+        nmfk_mod, "_ensemble_program_sparse",
+        lambda *a, **kw: pytest.fail("BCOO program used in ELL mode"))
+    from pydnmfk_tpu.ops.ell import EllSparse
+    import pydnmfk_tpu.ops.sparse as sp_mod
+    monkeypatch.setattr(
+        sp_mod, "densify_for_backend",
+        lambda A, **kw: A if isinstance(A, EllSparse) else ell_pack(A))
+    ell = NMFk(mk("ell"))
+    nopt_e = ell.fit(Asp)
+    assert ell._ell is not None
+    assert nopt_e == nopt_b == 3
+    for k in (2, 3, 4):
+        sb, se = bcoo.per_k_stats[k], ell.per_k_stats[k]
+        np.testing.assert_allclose(se["avgErr"], sb["avgErr"], rtol=1e-3)
+        np.testing.assert_allclose(
+            se["clusterSilhouetteCoefficients"],
+            sb["clusterSilhouetteCoefficients"], atol=5e-3)
+
+
 def test_sparse_nmfk_rejects_mixed_sharding(tmp_path):
     from pydnmfk_tpu.config import NMFkConfig
     from pydnmfk_tpu.models.nmfk import NMFk
