@@ -73,6 +73,18 @@ def build_parser():
                    help="reference-MPI seeding compat, e.g. '2,2': tile "
                         "noise/init as the reference's identical-per-rank "
                         "numpy seeding does on that grid (docs/PARITY.md)")
+    p.add_argument("--seed", type=int, default=100,
+                   help="PRNG seed for init/perturbations")
+    p.add_argument("--tol", type=float, default=0.0,
+                   help="early stop when the relative error improves by "
+                        "less than this between checks (0 = fixed --itr, "
+                        "the reference behavior)")
+    p.add_argument("--solve_checkpoint_every", type=int, default=0,
+                   help="persist (W, H, iteration) every N iterations "
+                        "inside one solve; an interrupted fit resumes "
+                        "from the last chunk (0 = off)")
+    p.add_argument("--ensemble_batch", type=int, default=0,
+                   help="NMFk members per batched solve (0 = HBM-auto)")
     return p
 
 
@@ -95,7 +107,10 @@ def main(argv=None):
         sampling=args.sampling, process=args.process,
         a_precision=args.a_precision,
         seed_grid=(tuple(int(x) for x in args.seed_grid.split(","))
-                   if args.seed_grid else None))
+                   if args.seed_grid else None),
+        seed=args.seed, tol=args.tol,
+        solve_checkpoint_every=args.solve_checkpoint_every,
+        ensemble_batch=args.ensemble_batch)
     results = runner.run(
         grid=[args.p_r, args.p_c], fpath=args.fpath, ftype=args.ftype,
         fname=args.fname, results_path=args.results_path,

@@ -23,7 +23,9 @@ class Runner:
                  verbose=False, checkpoint=False, timing_stats=False,
                  prune=False, precision="float32", perturbations=20,
                  noise_var=0.015, sill_thr=0.6, sampling="uniform",
-                 process="pyDNMF", a_precision=None, seed_grid=None):
+                 process="pyDNMF", a_precision=None, seed_grid=None,
+                 seed=100, tol=0.0, solve_checkpoint_every=0,
+                 ensemble_batch=0):
         if process not in ("pyDNMF", "pyDNMFk"):
             raise ValueError("process should be either pyDNMFk or pyDNMF")
         self.init = init
@@ -42,6 +44,11 @@ class Runner:
         self.sill_thr = sill_thr
         self.sampling = sampling
         self.process = process
+        # TPU-native knobs beyond the reference surface (config.py)
+        self.seed = seed
+        self.tol = tol
+        self.solve_checkpoint_every = solve_checkpoint_every
+        self.ensemble_batch = ensemble_batch
         timing.enable(timing_stats)
         from .config import enable_compilation_cache
         enable_compilation_cache()
@@ -55,7 +62,9 @@ class Runner:
             k=k, grid=tuple(grid), init=self.init, itr=self.itr,
             norm=self.norm, method=self.method, prune=self.prune,
             precision=self.precision, verbose=self.verbose,
-            results_path=results_path, a_precision=self.a_precision)
+            results_path=results_path, a_precision=self.a_precision,
+            seed=self.seed, tol=self.tol,
+            solve_checkpoint_every=self.solve_checkpoint_every)
         ctx = grid_context(*grid)
         reader = DataReader(fpath, fname, ftype, pgrid=grid,
                             precision=self.precision)
@@ -74,6 +83,7 @@ class Runner:
                 noise_var=self.noise_var, sampling=self.sampling,
                 sill_thr=self.sill_thr, checkpoint=self.checkpoint,
                 results_path=results_path, fname=fname,
+                ensemble_batch=self.ensemble_batch,
                 seed_grid=(tuple(self.seed_grid)
                            if self.seed_grid else None))
             results["nopt"] = NMFk(cfg, ctx).fit(A, orig_shape=orig_shape)

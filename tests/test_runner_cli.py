@@ -40,6 +40,25 @@ def test_runner_rejects_bad_process():
         Runner(process="bogus")
 
 
+def test_runner_tpu_knobs(tmp_path):
+    """Beyond-reference knobs thread through the Runner: seed changes the
+    init stream, tol stops early, solve_checkpoint_every persists chunks."""
+    kw = dict(grid=[1, 1], fpath=reference_path("data") + "/",
+              ftype="mat", fname="wtsi", k=4)
+    base = dict(init="rand", itr=400, norm="fro", method="mu",
+                process="pyDNMF")
+    a = Runner(**base, seed=1).run(results_path=str(tmp_path / "a"), **kw)
+    b = Runner(**base, seed=2).run(results_path=str(tmp_path / "b"), **kw)
+    assert not np.allclose(np.asarray(a["W"]), np.asarray(b["W"]))
+    # a loose tol must not break the result badly
+    c = Runner(**base, tol=1e-4).run(results_path=str(tmp_path / "c"), **kw)
+    assert c["err"] < 0.2
+    short = {**base, "itr": 100}
+    d = Runner(**short, solve_checkpoint_every=40).run(
+        results_path=str(tmp_path / "d"), **kw)
+    assert d["err"] < 0.25
+
+
 def test_step_k(tmp_path):
     """step_k>1 sweeps only every other k (reference --step_k)."""
     r = Runner(init="rand", itr=200, norm="fro", method="mu",
