@@ -273,9 +273,14 @@ class NMF:
             H = jax.device_put(H, self.ctx.sharding_H)
         return A, W, H
 
-    def init_factors(self, A, key=None):
-        m, n = A.shape
+    def init_factors(self, A, key=None, shape=None):
+        """``shape`` overrides the draw dims for rand init when A arrives
+        pre-padded (keeps the PRNG stream identical to the host-array
+        path, where padding happens after the draw); nnsvd ignores it (it
+        operates on the padded sharded A by design — zero padding adds
+        exact-zero singular directions)."""
         cfg = self.cfg
+        m, n = shape if (shape and cfg.init == "rand") else A.shape
         if cfg.init == "rand":
             if key is None:
                 key = jax.random.key(cfg.seed)
@@ -316,6 +321,18 @@ class NMF:
                     "quantized (uint8) A storage applies to dense A (the "
                     "sparse triplet stores only nnz values); drop "
                     "a_precision for sparse inputs")
+            if jnp.dtype(A.dtype) != jnp.dtype(cfg.a_dtype):
+                # a_precision (e.g. bf16 nnz values) applies to sparse
+                # storage too — previously silently ignored
+                from ..ops.ell import EllSparse
+                if isinstance(A, EllSparse):
+                    A = A.astype(cfg.a_dtype)
+                elif hasattr(A, "indices"):      # BCOO
+                    from jax.experimental import sparse as jsparse
+                    A = jsparse.BCOO(
+                        (A.data.astype(cfg.a_dtype), A.indices),
+                        shape=A.shape, unique_indices=A.unique_indices,
+                        indices_sorted=A.indices_sorted)
         else:
             # integer a_precision = quantized storage: keep A at the work
             # dtype through init/prune/pad, quantize just before the solve
@@ -348,8 +365,10 @@ class NMF:
             else:
                 # pre_sharded: nnsvd of the zero-padded A == zero-padded
                 # nnsvd of A (padding adds exact-zero singular directions),
-                # so W/H come back padded AND sharded already
-                W, H = self.init_factors(A, key=key)
+                # so W/H come back padded AND sharded already; rand draws
+                # at the TRUE dims (orig_shape) so pre-padded input gets
+                # the same stream as the host-array path
+                W, H = self.init_factors(A, key=key, shape=orig_shape)
 
         if cfg.prune:
             A, W, H, self.prune_state = prune_all(A, W, H)

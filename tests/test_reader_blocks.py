@@ -83,6 +83,27 @@ def test_readonly_source_dir_uses_cache_not_source(cache_dir):
     assert not any(f.endswith(".cache.npy") for f in os.listdir(src_dir))
 
 
+def test_prepadded_input_matches_host_array_path(tmp_path, cache_dir):
+    """A pre-padded sharded read (pad_to_mesh) must give the SAME result
+    as handing NMF the host array: rand init draws at the true dims, so
+    the PRNG streams agree."""
+    from pydnmfk_tpu.config import NMFConfig
+    from pydnmfk_tpu.models.nmf import NMF
+
+    X = _write_mat(tmp_path, (10, 6), seed=4)
+    ctx = grid_context(4, 2)
+    r = DataReader(str(tmp_path), "M", "mat")
+    A_pad = r.read(ctx, pad_to_mesh=True)
+    assert A_pad.shape == (12, 6)
+    cfg = NMFConfig(k=2, grid=(4, 2), norm="fro", method="mu", itr=50,
+                    seed=11)
+    W1, H1, e1 = NMF(cfg).fit(A_pad, orig_shape=r.last_global_shape)
+    W2, H2, e2 = NMF(cfg).fit(X)
+    assert float(e1) == float(e2)
+    np.testing.assert_array_equal(np.asarray(W1), np.asarray(W2))
+    np.testing.assert_array_equal(np.asarray(H1), np.asarray(H2))
+
+
 def test_runner_uneven_mat_orig_shape_threading(tmp_path, cache_dir):
     """End-to-end: Runner on an uneven mat over a (4, 2) mesh returns
     factors at the TRUE dims and the same reconstruction error as the

@@ -408,6 +408,18 @@ def test_ell_solve_matches_dense(norm):
     np.testing.assert_allclose(e2, e1, atol=2e-3)
 
 
+def test_sparse_a_precision_bf16():
+    """a_precision applies to sparse nnz storage too (previously silently
+    ignored): the solve runs with bf16 data and lands near the f32 result."""
+    A, Asp = _sparse_lowrank(48, 36, 3, density=0.3, seed=2)
+    cfg = NMFConfig(k=3, norm="fro", method="mu", itr=300, seed=100)
+    _, _, e32 = NMF(cfg).fit(Asp)
+    nmf = NMF(cfg.replace(a_precision="bfloat16"))
+    _, _, e16 = nmf.fit(Asp)
+    assert jnp.dtype(nmf._A.dtype) == jnp.bfloat16
+    assert abs(e16 - e32) < 5e-3, (e16, e32)
+
+
 def test_ell_pack_rejects_skew():
     from pydnmfk_tpu.ops.ell import ell_pack
     # one dense row in an otherwise near-empty matrix: per-row widths are
