@@ -85,6 +85,11 @@ def build_parser():
                         "from the last chunk (0 = off)")
     p.add_argument("--ensemble_batch", type=int, default=0,
                    help="NMFk members per batched solve (0 = HBM-auto)")
+    p.add_argument("--matmul_precision", type=str, default=None,
+                   help="dot-operand precision: default = JAX TPU default "
+                        "(bf16-rounded operands, f32 accumulation); "
+                        "'highest' = true-f32 multi-pass dots (~2x "
+                        "per-iteration cost — docs/PERFORMANCE.md)")
     return p
 
 
@@ -110,7 +115,8 @@ def main(argv=None):
                    if args.seed_grid else None),
         seed=args.seed, tol=args.tol,
         solve_checkpoint_every=args.solve_checkpoint_every,
-        ensemble_batch=args.ensemble_batch)
+        ensemble_batch=args.ensemble_batch,
+        matmul_precision=args.matmul_precision)
     results = runner.run(
         grid=[args.p_r, args.p_c], fpath=args.fpath, ftype=args.ftype,
         fname=args.fname, results_path=args.results_path,

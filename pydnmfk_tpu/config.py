@@ -84,6 +84,13 @@ class NMFConfig:
     use_fused: Optional[bool] = None
     tol: float = 0.0         # early stop when relative error improves < tol
     tol_check_every: int = 50   # iterations between convergence checks
+    # Dot-operand precision: None = JAX's TPU default (operands rounded to
+    # bf16, f32 accumulation — every golden reproduces under it, and the
+    # MU step runs at the HBM floor).  "highest" computes true-f32
+    # multi-pass dots at ~2x the per-iteration cost (measured 23.6 vs
+    # 11.7 ms/iter at the flagship shape, tools/slope_probe.py) for
+    # bitwise-f32 operand reproducibility.
+    matmul_precision: Optional[str] = None
     # Mid-solve checkpointing for long factorizations: > 0 runs the
     # iteration loop in chunks of this many iterations (rounded to a
     # multiple of 10 to keep the reference's eps-clip cadence) and persists

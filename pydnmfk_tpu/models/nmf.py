@@ -216,6 +216,11 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                         bool(use_fused), float(cfg.tol),
                         int(cfg.tol_check_every), mesh, err_chunk,
                         bool(finalize))
+    if cfg.matmul_precision:
+        # dot-operand precision (config.py): the context participates in
+        # the jit cache key, so default/highest variants coexist
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return fn(A, W, H, eps)
     return fn(A, W, H, eps)
 
 

@@ -297,7 +297,7 @@ def _ensemble_cfg_tag(ncfg: NMFConfig, cfg: NMFkConfig) -> str:
     return repr((ncfg.k, ncfg.itr, ncfg.norm.lower(), ncfg.method.lower(),
                  ncfg.init, ncfg.precision, ncfg.a_precision, ncfg.seed,
                  float(ncfg.tol), cfg.noise_var, cfg.sampling,
-                 cfg.seed_grid))
+                 cfg.seed_grid, ncfg.matmul_precision))
 
 
 def _save_ensemble_part(parts_dir, offset, W, H, errs, seed, cfg_tag):
@@ -539,35 +539,40 @@ class NMFk:
 
         err_chunk = linalg.error_chunk_rows(A.shape[0], A.shape[1],
                                             sharded=not single_shard)
+        import contextlib
+        prec_ctx = (
+            (lambda: jax.default_matmul_precision(ncfg.matmul_precision))
+            if ncfg.matmul_precision else contextlib.nullcontext)
         while done < n_pert:
             b = min(batch, n_pert - done)
             b_pad = -(-b // p_e) * p_e
-            if sparse_A and self._grid_sparse is not None:
-                gs, perm = self._grid_sparse
-                program = _ensemble_program_sparse_grid(
-                    ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
-                    self.ctx, A.shape[0], A.shape[1],
-                    gs.shape[0], gs.shape[1])
-                W, H, errs = program(A.data, perm, gs.lrows, gs.lcols,
-                                     key, done)
-            elif sparse_A and self._ell is not None:
-                E, rperm, cperm = self._ell
-                program = _ensemble_program_sparse_ell(
-                    ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
-                    A.shape[0], A.shape[1])
-                W, H, errs = program(A.data, E.rcols, E.crows,
-                                     rperm, cperm, key, done)
-            elif sparse_A:
-                program = _ensemble_program_sparse(
-                    ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
-                    A.shape[0], A.shape[1], self.ctx, p_e > 1)
-                W, H, errs = program(A.data, A.indices, key, done)
-            else:
-                program = _ensemble_program(ncfg, b_pad, cfg.sampling,
-                                            float(cfg.noise_var), self.ctx,
-                                            p_e > 1, use_pallas, err_chunk,
-                                            cfg.seed_grid, use_fused)
-                W, H, errs = program(A, key, done)
+            with prec_ctx():
+                if sparse_A and self._grid_sparse is not None:
+                    gs, perm = self._grid_sparse
+                    program = _ensemble_program_sparse_grid(
+                        ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                        self.ctx, A.shape[0], A.shape[1],
+                        gs.shape[0], gs.shape[1])
+                    W, H, errs = program(A.data, perm, gs.lrows, gs.lcols,
+                                         key, done)
+                elif sparse_A and self._ell is not None:
+                    E, rperm, cperm = self._ell
+                    program = _ensemble_program_sparse_ell(
+                        ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                        A.shape[0], A.shape[1])
+                    W, H, errs = program(A.data, E.rcols, E.crows,
+                                         rperm, cperm, key, done)
+                elif sparse_A:
+                    program = _ensemble_program_sparse(
+                        ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                        A.shape[0], A.shape[1], self.ctx, p_e > 1)
+                    W, H, errs = program(A.data, A.indices, key, done)
+                else:
+                    program = _ensemble_program(
+                        ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                        self.ctx, p_e > 1, use_pallas, err_chunk,
+                        cfg.seed_grid, use_fused)
+                    W, H, errs = program(A, key, done)
             W_parts.append(W[:b])
             H_parts.append(H[:b])
             err_parts.append(errs[:b])

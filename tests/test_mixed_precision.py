@@ -72,6 +72,22 @@ def test_mixed_precision_nmfk_selects_k(tmp_path):
     assert NMFk(cfg).fit(X) == 3
 
 
+def test_matmul_precision_knob():
+    """matmul_precision='highest' (true-f32 multi-pass dots on TPU; a
+    no-op on CPU) threads through solve and the ensemble tag."""
+    A = _lowrank()
+    cfg = NMFConfig(k=3, norm="fro", method="mu", itr=200, seed=100,
+                    matmul_precision="highest")
+    W, H, err = NMF(cfg).fit(A)
+    assert err < 2e-2, err
+    # replayed ensemble parts are invalid across precision modes
+    from pydnmfk_tpu.models.nmfk import _ensemble_cfg_tag
+    from pydnmfk_tpu import NMFkConfig
+    kcfg = NMFkConfig(nmf=cfg)
+    assert (_ensemble_cfg_tag(cfg, kcfg)
+            != _ensemble_cfg_tag(cfg.replace(matmul_precision=None), kcfg))
+
+
 def test_float16_solve():
     """precision='float16' is part of the reference's --precision surface
     (main.py:29): eps = finfo(f16).eps ~ 9.8e-4 materially changes the
