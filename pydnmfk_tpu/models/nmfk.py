@@ -186,7 +186,8 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
     from ..ops.ell import EllSparse
     k = ncfg.k
 
-    def program(data_flat, rcols, crows, rperm, cperm, key, offset):
+    def program(data_flat, E_tpl, rperm, cperm, rtail_perm, ctail_perm,
+                key, offset):
         nnz = data_flat.shape[0]
         keys = sampler.member_keys(key, offset, b_pad)
         d_ens = jax.vmap(lambda kk: sampler.sample_member(
@@ -202,6 +203,8 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
 
         rvals_b = jax.vmap(lambda f: orient(f, rperm))(d_ens)
         cvals_b = jax.vmap(lambda f: orient(f, cperm))(d_ens)
+        rtail_b = jax.vmap(lambda f: f[rtail_perm])(d_ens)
+        ctail_b = jax.vmap(lambda f: f[ctail_perm])(d_ens)
         W0 = jax.vmap(lambda kk: jax.random.uniform(
             jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
             jnp.float32))(keys).astype(ncfg.dtype)
@@ -210,15 +213,18 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
             jnp.float32))(keys).astype(ncfg.dtype)
         eps = jnp.asarray(ncfg.eps, ncfg.dtype)
 
-        def member(rv, cv, w0, h0):
-            Am = EllSparse(rv, rcols, cv, crows, (m, n), nnz)
+        def member(rv, rtd, cv, ctd, w0, h0):
+            Am = EllSparse(rv, E_tpl.rcols, rtd, E_tpl.rtail_r,
+                           E_tpl.rtail_c, cv, E_tpl.crows, ctd,
+                           E_tpl.ctail_r, E_tpl.ctail_c, (m, n), nnz)
             return nmf_mod._solve(
                 Am, w0, h0, eps, norm=ncfg.norm.lower(),
                 method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
                 chunk=0, tol=float(ncfg.tol),
                 tol_check_every=int(ncfg.tol_check_every))
 
-        return jax.vmap(member)(rvals_b, cvals_b, W0, H0)
+        return jax.vmap(member)(rvals_b, rtail_b, cvals_b, ctail_b,
+                                W0, H0)
 
     return jax.jit(program)
 
@@ -556,12 +562,12 @@ class NMFk:
                     W, H, errs = program(A.data, perm, gs.lrows, gs.lcols,
                                          key, done)
                 elif sparse_A and self._ell is not None:
-                    E, rperm, cperm = self._ell
+                    E, rperm, cperm, rt_perm, ct_perm = self._ell
                     program = _ensemble_program_sparse_ell(
                         ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
                         A.shape[0], A.shape[1])
-                    W, H, errs = program(A.data, E.rcols, E.crows,
-                                         rperm, cperm, key, done)
+                    W, H, errs = program(A.data, E, rperm, cperm,
+                                         rt_perm, ct_perm, key, done)
                 elif sparse_A:
                     program = _ensemble_program_sparse(
                         ncfg, b_pad, cfg.sampling, float(cfg.noise_var),

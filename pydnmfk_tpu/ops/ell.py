@@ -2,27 +2,35 @@
 
 Measured on the v5e (tools/sparse_probe.py): element-level sparse products
 on TPU are gather-bound — XLA's row gather sustains ~0.25 Gnnz/s at k=32
-while the dense MXU path streams A at HBM bandwidth, so the crossover is at
-density ~0.3% (k=32; scales ~1/k).  Below that — and in the beyond-HBM
-regime where even a bf16 densified A cannot fit — this module wins; above
-it, ``densify_for_backend``'s dtype ladder keeps the MXU path (the policy
-is measurement-driven, ops/sparse.py::densify_for_backend).
+and the cost scales with the number of gathered SLOTS, not bytes — while
+the dense MXU path streams A at HBM bandwidth.  ELL wins for very sparse
+matrices with large m·n, and in the beyond-HBM regime where dense cannot
+run at all; ``densify_for_backend`` (ops/sparse.py) applies the measured
+cost model automatically.
 
-Format: classic ELLPACK in BOTH orientations (no scatter ever):
+Format: CAPPED-WIDTH ELLPACK in BOTH orientations plus COO tails:
 
     rvals/rcols : (m, w_r)  per-row values / column indices (CSR-ELL)
+    rtail_*     : (t_r,)    entries beyond the per-row width cap
     cvals/crows : (n, w_c)  per-column values / row indices (CSC-ELL)
+    ctail_*     : (t_c,)    entries beyond the per-column width cap
 
-padding slots carry (val=0, idx=0) — inert in every product since the
-value multiplies the gathered vector.  Products are gather + dense einsum:
+Because gather cost ∝ slots, padding every row to the MAX row width
+wastes 2-3x of the gathers on typical (Poisson-ish) nnz distributions;
+capping the width at a high quantile and routing the overflow through the
+segment_sum tail (tiny, so its lower rate never matters) removes that
+waste and makes heavy-tailed matrices packable at all.  Padding slots
+carry (val=0, idx=0) — inert in every product since the value multiplies
+the gathered vector.  Products are gather + dense einsum + tail:
 
-    A @ H^T  = einsum('rw,rwk->rk', rvals, Ht[rcols])
-    W^T @ A  = einsum('cw,cwk->ck', cvals, W[crows]).T
+    A @ H^T  = einsum('rw,rwk->rk', rvals, Ht[rcols]) + tail_segment_sum
+    W^T @ A  = einsum('cw,cwk->ck', cvals, W[crows]).T + tail
 
 and the KL ratio U = A/(WH+eps) is formed per orientation from the SAME
-gathered blocks (U is zero wherever A is, exactly as in ops/sparse.py), so
-each KL product costs one gather.  Row/column blocks are chunked through a
-``fori_loop`` so the (block, w, k) gather intermediate stays bounded.
+gathered blocks (U is zero wherever A is, exactly as in ops/sparse.py),
+so each KL product costs one gather.  Row/column blocks are chunked
+through a ``fori_loop`` so the (block, w, k) gather intermediate stays
+bounded.
 
 The reference is dense-only (its extreme-scale runs were dense matrices);
 this is a capability extension with no reference analog.
@@ -38,21 +46,29 @@ from .linalg import _acc_dtype
 
 @jax.tree_util.register_pytree_node_class
 class EllSparse:
-    """Dual-orientation ELLPACK matrix (see module docstring)."""
+    """Dual-orientation capped-width ELLPACK matrix (module docstring)."""
 
     _pydnmfk_sparse = True            # recognized by linalg.is_sparse
 
-    def __init__(self, rvals, rcols, cvals, crows, shape, nse):
+    def __init__(self, rvals, rcols, rtail_d, rtail_r, rtail_c,
+                 cvals, crows, ctail_d, ctail_r, ctail_c, shape, nse):
         self.rvals = rvals
         self.rcols = rcols
+        self.rtail_d = rtail_d
+        self.rtail_r = rtail_r
+        self.rtail_c = rtail_c
         self.cvals = cvals
         self.crows = crows
+        self.ctail_d = ctail_d
+        self.ctail_r = ctail_r
+        self.ctail_c = ctail_c
         self.shape = tuple(shape)
         self.nse = nse
 
     def tree_flatten(self):
-        return ((self.rvals, self.rcols, self.cvals, self.crows),
-                (self.shape, self.nse))
+        return ((self.rvals, self.rcols, self.rtail_d, self.rtail_r,
+                 self.rtail_c, self.cvals, self.crows, self.ctail_d,
+                 self.ctail_r, self.ctail_c), (self.shape, self.nse))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -64,26 +80,36 @@ class EllSparse:
 
     @property
     def data(self):
-        """Values view (padding slots are zero — inert in sums/norms)."""
-        return self.rvals
+        """Flat values view covering every entry exactly once (padding
+        slots are zero — inert in sums/norms)."""
+        return jnp.concatenate([self.rvals.reshape(-1), self.rtail_d])
 
     def astype(self, dtype):
         return EllSparse(self.rvals.astype(dtype), self.rcols,
+                         self.rtail_d.astype(dtype), self.rtail_r,
+                         self.rtail_c,
                          self.cvals.astype(dtype), self.crows,
-                         self.shape, self.nse)
+                         self.ctail_d.astype(dtype), self.ctail_r,
+                         self.ctail_c, self.shape, self.nse)
 
 
-def ell_pack(A, max_blowup: float = 4.0, return_perms: bool = False):
-    """BCOO -> EllSparse on the host.  Returns None when the row/column
-    nnz distribution is too skewed (max width > max_blowup * mean + 8):
-    the padded storage would defeat the point of sparsity — callers fall
-    back to the densify ladder.
+def ell_pack(A, max_blowup: float = 4.0, return_perms: bool = False,
+             cap_q: float = 0.995, w_cap=None,
+             max_tail_frac: float = 0.25):
+    """BCOO -> EllSparse on the host.
 
-    ``return_perms=True`` additionally returns (rperm (m, w_r),
-    cperm (n, w_c)): ELL slot -> ORIGINAL nnz index maps (padding slots =
-    nnz).  The NMFk ensemble perturbs the flat COO data vector and
-    gathers it into both orientations through these, keeping member noise
-    streams identical to the BCOO path."""
+    The per-row/per-column ELL width is capped at the ``cap_q`` quantile
+    of the nnz-per-line distribution (override with ``w_cap`` for tests);
+    overflow entries go to the COO tails.  Returns None when even the
+    capped storage blows up (> max_blowup * mean + 8) or the tails exceed
+    25% of nnz — callers fall back to the densify ladder.
+
+    ``return_perms=True`` additionally returns
+    (rperm (m, w_r), cperm (n, w_c), rtail_perm (t_r,), ctail_perm (t_c,)):
+    slot -> ORIGINAL nnz index maps (ELL padding slots = nnz).  The NMFk
+    ensemble perturbs the flat COO data vector and gathers it into both
+    orientations through these, keeping member noise streams identical to
+    the BCOO path."""
     import numpy as np
     m, n = A.shape
     rows = np.asarray(A.indices[:, 0])
@@ -93,9 +119,11 @@ def ell_pack(A, max_blowup: float = 4.0, return_perms: bool = False):
     if nnz == 0:
         return None
 
-    def pack(keys, others, vals, dim):
+    def pack(keys, others, dim):
         counts = np.bincount(keys, minlength=dim)
-        w = max(int(counts.max()), 1)
+        w = int(w_cap) if w_cap else max(
+            int(np.quantile(counts, cap_q)), 1)
+        w = min(w, max(int(counts.max()), 1))
         if w > max_blowup * max(nnz / dim, 1.0) + 8:
             return None
         order = np.argsort(keys, kind="stable")
@@ -103,22 +131,35 @@ def ell_pack(A, max_blowup: float = 4.0, return_perms: bool = False):
         starts = np.zeros(dim + 1, np.int64)
         starts[1:] = np.cumsum(counts)
         slot = np.arange(nnz) - starts[ks]
+        main = slot < w
+        tail = ~main
+        if tail.sum() > max_tail_frac * nnz:
+            return None                  # too heavy-tailed: not worth ELL
         v = np.zeros((dim, w), vals.dtype)
         i = np.zeros((dim, w), np.int32)
         p = np.full((dim, w), nnz, np.int32)
-        v[ks, slot] = vs
-        i[ks, slot] = os_
-        p[ks, slot] = order
-        return v, i, p
+        v[ks[main], slot[main]] = vs[main]
+        i[ks[main], slot[main]] = os_[main]
+        p[ks[main], slot[main]] = order[main]
+        t_key = ks[tail].astype(np.int32)
+        t_other = os_[tail].astype(np.int32)
+        t_val = vs[tail]
+        t_perm = order[tail].astype(np.int32)
+        return v, i, t_val, t_key, t_other, p, t_perm
 
-    r = pack(rows, cols, vals, m)
-    c = pack(cols, rows, vals, n)
+    r = pack(rows, cols, m)
+    c = pack(cols, rows, n)
     if r is None or c is None:
         return None
-    E = EllSparse(jnp.asarray(r[0]), jnp.asarray(r[1]),
-                  jnp.asarray(c[0]), jnp.asarray(c[1]), (m, n), nnz)
+    E = EllSparse(
+        jnp.asarray(r[0]), jnp.asarray(r[1]), jnp.asarray(r[2]),
+        jnp.asarray(r[3]), jnp.asarray(r[4]),
+        jnp.asarray(c[0]), jnp.asarray(c[1]), jnp.asarray(c[2]),
+        jnp.asarray(c[4]), jnp.asarray(c[3]),     # ctail: (d, row, col)
+        (m, n), nnz)
     if return_perms:
-        return E, jnp.asarray(r[2]), jnp.asarray(c[2])
+        return (E, jnp.asarray(r[5]), jnp.asarray(c[5]),
+                jnp.asarray(r[6]), jnp.asarray(c[6]))
     return E
 
 
@@ -179,31 +220,52 @@ def _gather_product(vals, idx, M, ratio_with=None, eps=0.0):
 def ell_a_ht(A: EllSparse, H):
     """A @ H^T -> (m, k)."""
     out = _gather_product(A.rvals, A.rcols, H.T)
+    if A.rtail_d.shape[0]:
+        from .sparse import a_ht
+        out = out + a_ht(A.rtail_d, A.rtail_r, A.rtail_c, H, A.shape[0])
     return out.astype(jnp.result_type(A.dtype, H.dtype))
 
 
 def ell_wt_a(A: EllSparse, W):
     """W^T @ A -> (k, n)."""
     out = _gather_product(A.cvals, A.crows, W)
+    if A.ctail_d.shape[0]:
+        from .sparse import wt_a
+        out = out + wt_a(A.ctail_d, A.ctail_r, A.ctail_c, W,
+                         A.shape[1]).T
     return out.T.astype(jnp.result_type(A.dtype, W.dtype))
 
 
 def ell_kl_uht(A: EllSparse, W, H, eps):
     """(A / (WH + eps)) @ H^T -> (m, k); U shares A's sparsity pattern."""
     out = _gather_product(A.rvals, A.rcols, H.T, ratio_with=W, eps=eps)
+    if A.rtail_d.shape[0]:
+        from .sparse import a_ht, sddmm
+        wh = sddmm(W, H, A.rtail_r, A.rtail_c)
+        u = A.rtail_d.astype(wh.dtype) / (wh + eps)
+        out = out + a_ht(u, A.rtail_r, A.rtail_c, H, A.shape[0])
     return out.astype(jnp.result_type(A.dtype, W.dtype))
 
 
 def ell_kl_wtu(A: EllSparse, W, H, eps):
     """W^T @ (A / (WH + eps)) -> (k, n)."""
     out = _gather_product(A.cvals, A.crows, W, ratio_with=H.T, eps=eps)
+    if A.ctail_d.shape[0]:
+        from .sparse import sddmm, wt_a
+        wh = sddmm(W, H, A.ctail_r, A.ctail_c)
+        u = A.ctail_d.astype(wh.dtype) / (wh + eps)
+        out = out + wt_a(u, A.ctail_r, A.ctail_c, W, A.shape[1]).T
     return out.T.astype(jnp.result_type(A.dtype, W.dtype))
 
 
 def ell_col_sqsum(A: EllSparse):
     """Per-column sum of squares -> (n,)."""
     c = A.cvals.astype(_acc_dtype(A.cvals))
-    return jnp.sum(c * c, axis=1)
+    out = jnp.sum(c * c, axis=1)
+    if A.ctail_d.shape[0]:
+        from .sparse import col_sqsum
+        out = out + col_sqsum(A.ctail_d, A.ctail_c, A.shape[1])
+    return out
 
 
 def ell_time_model(m: int, n: int, nse: int, k: int,

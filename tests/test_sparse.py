@@ -420,6 +420,79 @@ def test_sparse_a_precision_bf16():
     assert abs(e16 - e32) < 5e-3, (e16, e32)
 
 
+def test_ell_capped_width_tail_products_match_dense():
+    """Forcing a tiny width cap routes overflow entries through the COO
+    tails; every product must still equal the dense result exactly over
+    main+tail."""
+    from pydnmfk_tpu.ops.ell import (ell_a_ht, ell_col_sqsum, ell_kl_uht,
+                                     ell_kl_wtu, ell_pack, ell_wt_a)
+    rng = np.random.default_rng(8)
+    A, Asp = _sparse_lowrank(40, 30, 3, density=0.3, seed=8)
+    E = ell_pack(Asp, w_cap=3, max_tail_frac=1.0)   # force heavy tails
+    assert E is not None
+    assert E.rtail_d.shape[0] > 0 and E.ctail_d.shape[0] > 0
+    assert E.rvals.shape[1] == 3
+    # every entry appears exactly once across main + tail
+    assert (int(jnp.sum(E.rvals != 0)) + E.rtail_d.shape[0]
+            >= Asp.nse)                  # (zeros in data could undercount)
+    W = jnp.asarray(rng.random((40, 4)), jnp.float32)
+    H = jnp.asarray(rng.random((4, 30)), jnp.float32)
+    Aj = jnp.asarray(A)
+    np.testing.assert_allclose(np.asarray(ell_a_ht(E, H)),
+                               np.asarray(Aj @ H.T), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ell_wt_a(E, W)),
+                               np.asarray(W.T @ Aj), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ell_col_sqsum(E)),
+                               np.sum(A * A, axis=0), rtol=1e-5)
+    eps = 1e-7
+    U = np.where(A > 0, A / (np.asarray(W @ H) + eps), 0.0)
+    np.testing.assert_allclose(np.asarray(ell_kl_uht(E, W, H, eps)),
+                               U @ np.asarray(H.T), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ell_kl_wtu(E, W, H, eps)),
+                               np.asarray(W.T) @ U, rtol=1e-4)
+    # sqnorm through the .data view covers tails too
+    np.testing.assert_allclose(float(linalg.sqnorm(E)),
+                               float(np.sum(A * A)), rtol=1e-5)
+
+
+def test_ell_ensemble_with_forced_tails(tmp_path, monkeypatch):
+    """The ELL-mode NMFk with capped widths + tails still matches the
+    BCOO-path statistics (noise gathers cover main AND tail slots)."""
+    from pydnmfk_tpu.config import NMFkConfig
+    from pydnmfk_tpu.models import nmfk as nmfk_mod
+    from pydnmfk_tpu.models.nmfk import NMFk
+    from pydnmfk_tpu.ops.ell import EllSparse, ell_pack
+    import pydnmfk_tpu.ops.sparse as sp_mod
+
+    Asp = _planted_sparse(m=60, n=45)
+    mk = lambda sub: NMFkConfig(
+        nmf=NMFConfig(k=0, norm="fro", method="mu", itr=200, init="rand",
+                      seed=42),
+        start_k=2, end_k=4, perturbations=4, noise_var=0.03, sill_thr=0.6,
+        results_path=str(tmp_path / sub) + "/", fname="sp",
+        checkpoint=False)
+    bcoo = NMFk(mk("bcoo"))
+    nopt_b = bcoo.fit(Asp)
+
+    monkeypatch.setattr(
+        sp_mod, "densify_for_backend",
+        lambda A, **kw: A if isinstance(A, EllSparse) else ell_pack(A))
+    import pydnmfk_tpu.ops.ell as ell_mod
+    orig_pack = ell_mod.ell_pack
+    monkeypatch.setattr(
+        ell_mod, "ell_pack",
+        lambda A, **kw: orig_pack(A, w_cap=2, max_tail_frac=1.0, **kw))
+    ell = NMFk(mk("ell"))
+    nopt_e = ell.fit(Asp)
+    E = ell._ell[0]
+    assert E.rtail_d.shape[0] > 0        # tails actually exercised
+    assert nopt_e == nopt_b == 3
+    for k in (2, 3, 4):
+        np.testing.assert_allclose(
+            ell.per_k_stats[k]["avgErr"], bcoo.per_k_stats[k]["avgErr"],
+            rtol=1e-3)
+
+
 def test_ell_pack_rejects_skew():
     from pydnmfk_tpu.ops.ell import ell_pack
     # one dense row in an otherwise near-empty matrix: per-row widths are
