@@ -48,6 +48,9 @@ def build_parser():
     p.add_argument("--checkpoint", type=str2bool, default=False)
     p.add_argument("--timing_stats", type=str2bool, default=False)
     p.add_argument("--prune", type=str2bool, default=False)
+    p.add_argument("--save_factors", type=str2bool, default=False,
+                   help="persist W/H factor chunks under results_path "
+                        "(reference PyNMF save_factors, pyDNMF.py:163-164)")
     p.add_argument("--precision", type=str, default="float32",
                    help="float16/bfloat16/float32/float64")
     # pyNMFk block (reference main.py:34-42)
@@ -107,6 +110,7 @@ def main(argv=None):
         init=args.init, itr=args.itr, norm=args.norm, method=args.method,
         verbose=args.verbose, checkpoint=args.checkpoint,
         timing_stats=args.timing_stats, prune=args.prune,
+        save_factors=args.save_factors,
         precision=args.precision, perturbations=args.perturbations,
         noise_var=args.noise_var, sill_thr=args.sill_thr,
         sampling=args.sampling, process=args.process,

@@ -25,7 +25,8 @@ class Runner:
                  noise_var=0.015, sill_thr=0.6, sampling="uniform",
                  process="pyDNMF", a_precision=None, seed_grid=None,
                  seed=100, tol=0.0, solve_checkpoint_every=0,
-                 ensemble_batch=0, matmul_precision=None):
+                 ensemble_batch=0, matmul_precision=None,
+                 save_factors=False):
         if process not in ("pyDNMF", "pyDNMFk"):
             raise ValueError("process should be either pyDNMFk or pyDNMF")
         self.init = init
@@ -50,6 +51,7 @@ class Runner:
         self.solve_checkpoint_every = solve_checkpoint_every
         self.ensemble_batch = ensemble_batch
         self.matmul_precision = matmul_precision
+        self.save_factors = save_factors
         timing.enable(timing_stats)
         from .config import enable_compilation_cache
         enable_compilation_cache()
@@ -66,7 +68,8 @@ class Runner:
             results_path=results_path, a_precision=self.a_precision,
             seed=self.seed, tol=self.tol,
             solve_checkpoint_every=self.solve_checkpoint_every,
-            matmul_precision=self.matmul_precision)
+            matmul_precision=self.matmul_precision,
+            save_factors=self.save_factors)
         ctx = grid_context(*grid)
         reader = DataReader(fpath, fname, ftype, pgrid=grid,
                             precision=self.precision)
