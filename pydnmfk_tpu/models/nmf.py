@@ -363,6 +363,10 @@ class NMF:
             A = jax.device_put(A, self.ctx.sharding_A)
             pre_sharded = (m0, n0)
 
+        import contextlib
+        prec_ctx = (
+            (lambda: jax.default_matmul_precision(cfg.matmul_precision))
+            if cfg.matmul_precision else contextlib.nullcontext)
         with timing.timed("init_factors"):
             if factors is not None:
                 W = jnp.asarray(factors[0], dtype=cfg.dtype)
@@ -372,8 +376,11 @@ class NMF:
                 # nnsvd of A (padding adds exact-zero singular directions),
                 # so W/H come back padded AND sharded already; rand draws
                 # at the TRUE dims (orig_shape) so pre-padded input gets
-                # the same stream as the host-array path
-                W, H = self.init_factors(A, key=key, shape=orig_shape)
+                # the same stream as the host-array path.  The
+                # matmul_precision context covers the nnsvd Gram/panel
+                # dots too, matching the solve.
+                with prec_ctx():
+                    W, H = self.init_factors(A, key=key, shape=orig_shape)
 
         if cfg.prune:
             A, W, H, self.prune_state = prune_all(A, W, H)
