@@ -240,15 +240,22 @@ def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
     the per-block shard_map products (ops/sparse.py), so each member runs
     the same 1D/2D collective contract as a single sparse solve.
 
+    With p_e > 1 the member axis is additionally SHARDED over the mesh 'e'
+    axis via ``vmap(spmd_axis_name='e')`` (VERDICT r3 item 2): the batching
+    rule threads 'e' into the inner shard_map's specs, so sparse ensembles
+    get the same three-way ('e','r','c') parallelism as dense ones — each
+    'e' group factorizes its own member slice over its own (r, c) subgrid.
+
     Noise and factor-init streams are drawn on the ORIGINAL flat COO data
     / the unpadded (m, n) dims and then gathered/padded into block layout,
     so member statistics are identical to the single-device sparse path
-    (k-selection equality is tested on a (2,2) CPU mesh)."""
+    (k-selection equality is tested on (2,2) / (2,2,'e'=2) CPU meshes)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..ops.sparse import GridShardedSparse
-    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    from ..parallel.mesh import COL_AXIS, ENSEMBLE_AXIS, ROW_AXIS
     k = ncfg.k
     p_r, p_c = ctx.shape
+    e_ax = ENSEMBLE_AXIS if ctx.p_e > 1 else None
 
     def program(data_flat, perm, lrows, lcols, key, offset):
         nnz = data_flat.shape[0]
@@ -265,7 +272,7 @@ def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
         d_blocks = jax.vmap(to_blocks)(d_ens)         # (b, p_r, p_c, e)
         sh = lambda spec: NamedSharding(ctx.mesh, spec)
         d_blocks = jax.lax.with_sharding_constraint(
-            d_blocks, sh(P(None, ROW_AXIS, COL_AXIS, None)))
+            d_blocks, sh(P(e_ax, ROW_AXIS, COL_AXIS, None)))
         W0 = jax.vmap(lambda kk: jax.random.uniform(
             jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
             jnp.float32))(keys).astype(ncfg.dtype)
@@ -277,9 +284,9 @@ def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
         if n_pad != n:
             H0 = jnp.pad(H0, ((0, 0), (0, 0), (0, n_pad - n)))
         W0 = jax.lax.with_sharding_constraint(
-            W0, sh(P(None, ROW_AXIS, None)))
+            W0, sh(P(e_ax, ROW_AXIS, None)))
         H0 = jax.lax.with_sharding_constraint(
-            H0, sh(P(None, None, COL_AXIS)))
+            H0, sh(P(e_ax, None, COL_AXIS)))
         eps = jnp.asarray(ncfg.eps, ncfg.dtype)
 
         def member(d, w0, h0):
@@ -291,7 +298,7 @@ def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
                 chunk=0, tol=float(ncfg.tol),
                 tol_check_every=int(ncfg.tol_check_every))
 
-        return jax.vmap(member)(d_blocks, W0, H0)
+        return jax.vmap(member, spmd_axis_name=e_ax)(d_blocks, W0, H0)
 
     return jax.jit(program)
 
@@ -392,10 +399,6 @@ class NMFk:
             if cfg.nmf.prune:
                 raise ValueError("prune is not supported with sparse A "
                                  "(pruning IS implicit in sparsity)")
-            if self.ctx.p_e > 1 and self.ctx.shape != (1, 1):
-                raise ValueError(
-                    "sparse NMFk shards over the grid axes ('r','c') OR "
-                    "the ensemble axis ('e'), not both")
             if cfg.nmf.init != "rand":
                 raise ValueError("sparse NMFk requires init='rand' (nnsvd "
                                  "needs dense A)")
@@ -606,23 +609,34 @@ class NMFk:
         # mid-k resume: a completed ensemble is cached on disk, so an
         # interrupted clustering/regression stage never recomputes the
         # perturbations (the reference records per-perturbation state but
-        # always restarts the loop from 0, pyDNMFk.py:188-196,226)
+        # always restarts the loop from 0, pyDNMFk.py:188-196,226).  The
+        # cache is stamped with the full solver+noise configuration — a
+        # restart after changing e.g. noise_var in the same results dir
+        # recomputes instead of silently replaying stale members — and is
+        # deleted once this k's results land (FLAG_SAVED below).
         ens_cache = os.path.join(k_path, "ensemble.npz")
+        cfg_tag = _ensemble_cfg_tag(cfg.nmf.replace(k=k), cfg)
         st = self.checkpoint.state
         resume_ok = (cfg.checkpoint and st is not None and st.k == k
                      and st.flag >= FLAG_PERTS_DONE
                      and os.path.exists(ens_cache))
         if resume_ok:
             with np.load(ens_cache) as d:
-                W_all = jnp.asarray(d["W"])
-                H_all = jnp.asarray(d["H"])
-                recon_errs = d["errs"]
-        else:
+                if (str(d.get("cfg_tag", "")) == cfg_tag
+                        and d["W"].shape[0] >= cfg.perturbations):
+                    W_all = jnp.asarray(d["W"][:cfg.perturbations])
+                    H_all = jnp.asarray(d["H"][:cfg.perturbations])
+                    recon_errs = d["errs"][:cfg.perturbations]
+                else:
+                    resume_ok = False    # stale configuration: recompute
+        if not resume_ok:
             with timing.timed("ensemble_solve"):
                 W_all, H_all, recon_errs = self._solve_ensemble(A, k)
             if cfg.checkpoint:
-                np.savez(ens_cache, W=np.asarray(W_all),
-                         H=np.asarray(H_all), errs=recon_errs)
+                tmp = ens_cache + ".tmp.npz"
+                np.savez(tmp, W=np.asarray(W_all), H=np.asarray(H_all),
+                         errs=recon_errs, cfg_tag=cfg_tag)
+                os.replace(tmp, ens_cache)
         self.checkpoint.save(FLAG_PERTS_DONE, cfg.perturbations, k)
         # the per-batch resume parts are subsumed by ensemble.npz now
         shutil.rmtree(os.path.join(k_path, "ensemble_parts"),
@@ -680,6 +694,11 @@ class NMFk:
         writer.save_cluster_results(stats, config=run_cfg)
         self.per_k_stats[k] = stats
         self.checkpoint.save(FLAG_SAVED, cfg.perturbations, k)
+        # this k's stats are on disk (results.h5 + factors); the resume
+        # cache — ~2 GB of round-tripped factors at flagship scale — has
+        # served its purpose
+        if os.path.exists(ens_cache):
+            os.remove(ens_cache)
         return stats
 
     # ------------------------------------------------------------------

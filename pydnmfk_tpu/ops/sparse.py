@@ -198,8 +198,9 @@ def shard_sparse_grid(A, ctx, return_perm: bool = False):
     from ..parallel.mesh import COL_AXIS, ROW_AXIS
 
     p_r, p_c = ctx.shape
-    if ctx.p_e != 1:
-        raise ValueError("sharded sparse requires p_e == 1")
+    # p_e > 1 composes: the P('r','c',None) block sharding replicates the
+    # shared indices over 'e', and the NMFk ensemble shards its member axis
+    # over 'e' via vmap(spmd_axis_name) (models/nmfk.py)
     m, n = A.shape
     m_pad = -(-m // p_r) * p_r
     n_pad = -(-n // p_c) * p_c

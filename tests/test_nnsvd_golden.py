@@ -72,6 +72,29 @@ def test_randomized_svd_path():
     np.testing.assert_allclose(np.asarray(S), S_np, rtol=1e-6)
 
 
+def test_randomized_svd_accuracy():
+    """Tolerance-stopped subspace iteration at a flagship-ratio (3:2)
+    synthetic size with a realistic decaying spectrum + noise: top-k
+    singular values and subspace match numpy's dense SVD (the documented
+    accuracy check for the while_loop stop, VERDICT r3 item 9)."""
+    _setup_x64()
+    from pydnmfk_tpu.models.svd import _svd_randomized
+    import jax
+    m, n, k = 1536, 1024, 8
+    rng = np.random.RandomState(11)
+    U0, _ = np.linalg.qr(rng.standard_normal((m, 16)))
+    V0, _ = np.linalg.qr(rng.standard_normal((n, 16)))
+    spec = 10.0 * (0.5 ** np.arange(16))        # geometric decay
+    A = (U0 * spec) @ V0.T + 1e-6 * rng.standard_normal((m, n))
+    S, U, Vt = _svd_randomized(jax.numpy.asarray(A), jax.random.key(3), k)
+    S_np, = (np.linalg.svd(A, compute_uv=False)[:k],)
+    np.testing.assert_allclose(np.asarray(S), S_np, rtol=1e-6)
+    # reconstruction over the top-k subspace matches the optimal rank-k
+    R = A - np.asarray(U) * np.asarray(S) @ np.asarray(Vt)
+    opt = np.sqrt(np.sum(np.linalg.svd(A, compute_uv=False)[k:] ** 2))
+    assert np.linalg.norm(R) <= opt * (1 + 1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Distributed init (VERDICT r2 item 1): nnsvd on the mesh — parity with the
 # single-device result / sklearn golden, and a per-device memory bound

@@ -83,6 +83,28 @@ def test_readonly_source_dir_uses_cache_not_source(cache_dir):
     assert not any(f.endswith(".cache.npy") for f in os.listdir(src_dir))
 
 
+def test_unwritable_cache_warns_once(tmp_path, monkeypatch):
+    """An unwritable cache dir silently degraded to one full-file parse per
+    block read; now the first fallback warns, naming the dir and the fix
+    (VERDICT r3 item 8)."""
+    X = _write_mat(tmp_path, (10, 6))
+    # a regular file as the cache dir's parent: makedirs raises for any
+    # user (chmod-based unwritability is invisible to root)
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")
+    monkeypatch.setenv("PYDNMFK_CACHE_DIR", str(blocker / "cache"))
+    r = DataReader(str(tmp_path), "M", "mat")
+    with pytest.warns(UserWarning, match="not writable"):
+        blk = r._read_block(2, 7, 1, 5)
+    np.testing.assert_allclose(blk, X[2:7, 1:5])
+    # still correct, and the warning fires only once per reader
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        blk2 = r._read_block(0, 3, 0, 2)
+    np.testing.assert_allclose(blk2, X[0:3, 0:2])
+
+
 def test_prepadded_input_matches_host_array_path(tmp_path, cache_dir):
     """A pre-padded sharded read (pad_to_mesh) must give the SAME result
     as handing NMF the host array: rand init draws at the true dims, so

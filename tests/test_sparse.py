@@ -170,13 +170,16 @@ def _planted_sparse(m=80, n=60, ktrue=3, seed=7):
     return sparse.BCOO.fromdense(jnp.asarray(A))
 
 
-@pytest.mark.parametrize("grid,p_e", [((2, 2), 1), ((4, 1), 1), ((1, 1), 4)])
+@pytest.mark.parametrize("grid,p_e", [((2, 2), 1), ((4, 1), 1), ((1, 1), 4),
+                                      ((2, 2), 2)])
 def test_sparse_nmfk_multidevice_matches_single(tmp_path, grid, p_e):
     """Multi-device sparse NMFk (VERDICT r2 item 3): the ensemble over
     grid-sharded triplets (or members sharded over 'e') selects the same k
     as the single-device run with near-identical statistics — noise and
     init streams are drawn in flat-COO/unpadded order, so members match up
-    to mesh-padding eps effects."""
+    to mesh-padding eps effects.  The ((2,2), p_e=2) case is the THREE-WAY
+    ('e','r','c') composition (VERDICT r3 item 2): members sharded over 'e'
+    via vmap(spmd_axis_name) AND each member's blocks grid-sharded."""
     from pydnmfk_tpu.config import NMFkConfig
     from pydnmfk_tpu.models.nmfk import NMFk
     from pydnmfk_tpu.parallel.mesh import grid_context
@@ -244,19 +247,6 @@ def test_sparse_nmfk_ell_mode_matches_bcoo(tmp_path, monkeypatch):
         np.testing.assert_allclose(
             se["clusterSilhouetteCoefficients"],
             sb["clusterSilhouetteCoefficients"], atol=5e-3)
-
-
-def test_sparse_nmfk_rejects_mixed_sharding(tmp_path):
-    from pydnmfk_tpu.config import NMFkConfig
-    from pydnmfk_tpu.models.nmfk import NMFk
-    from pydnmfk_tpu.parallel.mesh import grid_context
-    _, Asp = _sparse_lowrank(16, 12, 2)
-    cfg = NMFkConfig(nmf=NMFConfig(norm="fro", method="mu", itr=20),
-                     start_k=2, end_k=2, perturbations=2,
-                     results_path=str(tmp_path), fname="mx",
-                     checkpoint=False)
-    with pytest.raises(ValueError, match="not both"):
-        NMFk(cfg, grid_context(2, 1, 2)).fit(Asp)
 
 
 def test_sparse_nmfk_rejects_unsupported(tmp_path):
