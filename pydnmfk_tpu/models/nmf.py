@@ -443,10 +443,13 @@ class NMF:
                 W = W[:orig_shape[0]]
                 H = H[:, :orig_shape[1]]
         if cfg.save_factors:
+            from ..parallel.mesh import host_local, is_proc0
             from ..utils.io import DataWriter
             with timing.timed("save_factors"):
-                DataWriter(cfg.results_path, cfg.grid).save_factors(
-                    np.asarray(W), np.asarray(H))
+                W_h, H_h = host_local(W), host_local(H)
+                if is_proc0():       # reference rank-0 writer role
+                    DataWriter(cfg.results_path, cfg.grid).save_factors(
+                        W_h, H_h)
         return W, H, self.recon_err
 
     def _solve_checkpointed(self, A, W, H, eps):
@@ -497,8 +500,9 @@ class NMF:
         err_chunk = linalg.error_chunk_rows(
             self._A.shape[0], self._A.shape[1],
             sharded=getattr(sh, "num_devices", 1) > 1)
+        from ..parallel.mesh import host_local
         col = linalg.column_error(self._A, self._W, self._H, err_chunk)
-        col = np.asarray(jax.device_get(col))[:self._valid_n]
+        col = host_local(col)[:self._valid_n]
         if self.prune_state is not None:
             full = np.zeros(self.prune_state.n_cols_full, dtype=col.dtype)
             full[np.asarray(self.prune_state.col_mask)] = col

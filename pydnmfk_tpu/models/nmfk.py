@@ -29,7 +29,8 @@ import numpy as np
 
 from ..config import NMFConfig, NMFkConfig
 from ..ops import linalg
-from ..parallel.mesh import GridContext, grid_context
+from ..parallel.mesh import (GridContext, grid_context, host_local,
+                             is_proc0, sync_processes)
 from ..utils.checkpoint import (Checkpoint, FLAG_CLUSTERED, FLAG_PERTS_DONE,
                                 FLAG_RUNNING, FLAG_SAVED)
 from ..utils.io import DataWriter
@@ -454,12 +455,13 @@ class NMFk:
             self.pynmfk_per_k(A, k)
 
         nopt = self.pvalue_analysis()
-        try:
-            from ..utils.plotting import plot_results_fpath
-            plot_results_fpath(self.results_path, list(cfg.k_range))
-        except Exception as e:               # plotting is best-effort, but
-            import warnings                  # never silently (VERDICT r2)
-            warnings.warn(f"k-selection plot failed: {e!r}")
+        if is_proc0():
+            try:
+                from ..utils.plotting import plot_results_fpath
+                plot_results_fpath(self.results_path, list(cfg.k_range))
+            except Exception as e:           # plotting is best-effort, but
+                import warnings              # never silently (VERDICT r2)
+                warnings.warn(f"k-selection plot failed: {e!r}")
         return nopt
 
     # ------------------------------------------------------------------
@@ -582,12 +584,22 @@ class NMFk:
                         self.ctx, p_e > 1, use_pallas, err_chunk,
                         cfg.seed_grid, use_fused)
                     W, H, errs = program(A, key, done)
-            W_parts.append(W[:b])
-            H_parts.append(H[:b])
-            err_parts.append(errs[:b])
-            if cfg.checkpoint:
-                _save_ensemble_part(parts_dir, done, np.asarray(W[:b]),
-                                    np.asarray(H[:b]), np.asarray(errs[:b]),
+            if jax.process_count() > 1:
+                # multi-host: the host-side stages (clustering, stats,
+                # results writes) run replicated per process, so every
+                # process takes a full host copy of the batch (the
+                # reference's gather-to-rank-0, pyDNMF.py:196-202)
+                W_b = jnp.asarray(host_local(W[:b]))
+                H_b = jnp.asarray(host_local(H[:b]))
+                e_b = jnp.asarray(host_local(errs[:b]))
+            else:
+                W_b, H_b, e_b = W[:b], H[:b], errs[:b]
+            W_parts.append(W_b)
+            H_parts.append(H_b)
+            err_parts.append(e_b)
+            if cfg.checkpoint and is_proc0():
+                _save_ensemble_part(parts_dir, done, np.asarray(W_b),
+                                    np.asarray(H_b), np.asarray(e_b),
                                     ncfg.seed, _ensemble_cfg_tag(ncfg, cfg))
             done += b
             self.checkpoint.save(FLAG_RUNNING, done, k, ncfg.seed)
@@ -633,14 +645,17 @@ class NMFk:
             with timing.timed("ensemble_solve"):
                 W_all, H_all, recon_errs = self._solve_ensemble(A, k)
             if cfg.checkpoint:
-                tmp = ens_cache + ".tmp.npz"
-                np.savez(tmp, W=np.asarray(W_all), H=np.asarray(H_all),
-                         errs=recon_errs, cfg_tag=cfg_tag)
-                os.replace(tmp, ens_cache)
+                W_h, H_h = host_local(W_all), host_local(H_all)
+                if is_proc0():
+                    tmp = ens_cache + ".tmp.npz"
+                    np.savez(tmp, W=W_h, H=H_h, errs=recon_errs,
+                             cfg_tag=cfg_tag)
+                    os.replace(tmp, ens_cache)
         self.checkpoint.save(FLAG_PERTS_DONE, cfg.perturbations, k)
         # the per-batch resume parts are subsumed by ensemble.npz now
-        shutil.rmtree(os.path.join(k_path, "ensemble_parts"),
-                      ignore_errors=True)
+        if is_proc0():
+            shutil.rmtree(os.path.join(k_path, "ensemble_parts"),
+                          ignore_errors=True)
 
         with timing.timed("clustering"):
             (centroids, cent_std, H_all_c, cluster_sils, avg_sil,
@@ -650,8 +665,8 @@ class NMFk:
         m, n = self._work_shape      # post-prune, pre-mesh-pad coordinates
         # slice off mesh padding before regression (it re-pads internally;
         # padding is appended so A[:m, :n] is the original matrix)
-        AvgW = np.asarray(centroids)[:m]
-        AvgH = np.asarray(jnp.median(H_all_c, axis=0))[:, :n]
+        AvgW = host_local(centroids)[:m]
+        AvgH = host_local(jnp.median(H_all_c, axis=0))[:, :n]
 
         # regression re-fit of H with W frozen (pyDNMFk.py:245-248); A is
         # already pruned at the pipeline level, so the fit must not re-prune
@@ -677,7 +692,7 @@ class NMFk:
         aic = 2 * k + m0 * n0 * float(np.log(avg_err / (m0 * n0)))
 
         stats = {
-            "clusterSilhouetteCoefficients": np.asarray(cluster_sils),
+            "clusterSilhouetteCoefficients": host_local(cluster_sils),
             "avgSilhouetteCoefficients": float(avg_sil),
             "L_errDist": L_errDist,
             "L_err": col_err,
@@ -685,20 +700,25 @@ class NMFk:
             "recon_err": recon_errs,
             "AIC": aic,
         }
-        writer = DataWriter(k_path, cfg.nmf.grid)
-        writer.save_factors(AvgW, AvgH, reg=True)
-        import dataclasses
-        run_cfg = {**dataclasses.asdict(cfg.nmf), "k": k,
-                   "perturbations": cfg.perturbations,
-                   "noise_var": cfg.noise_var, "sampling": cfg.sampling}
-        writer.save_cluster_results(stats, config=run_cfg)
+        AvgW, AvgH = host_local(AvgW), host_local(AvgH)
+        if is_proc0():
+            writer = DataWriter(k_path, cfg.nmf.grid)
+            writer.save_factors(AvgW, AvgH, reg=True)
+            import dataclasses
+            run_cfg = {**dataclasses.asdict(cfg.nmf), "k": k,
+                       "perturbations": cfg.perturbations,
+                       "noise_var": cfg.noise_var, "sampling": cfg.sampling}
+            writer.save_cluster_results(stats, config=run_cfg)
         self.per_k_stats[k] = stats
         self.checkpoint.save(FLAG_SAVED, cfg.perturbations, k)
         # this k's stats are on disk (results.h5 + factors); the resume
         # cache — ~2 GB of round-tripped factors at flagship scale — has
         # served its purpose
-        if os.path.exists(ens_cache):
+        if is_proc0() and os.path.exists(ens_cache):
             os.remove(ens_cache)
+        # every process must see this k's files (results.h5 feeds the
+        # Wilcoxon walk and resume on all of them) before moving on
+        sync_processes(f"pydnmfk_per_k_{k}")
         return stats
 
     # ------------------------------------------------------------------

@@ -162,6 +162,34 @@ def grid_context(p_r: int = 1, p_c: int = 1, p_e: int = 1) -> GridContext:
     return GridContext(make_grid_mesh(p_r, p_c, p_e))
 
 
+def host_local(x) -> np.ndarray:
+    """np.ndarray of a possibly cross-process (non-addressable) jax.Array.
+
+    Multi-host arrays sharded over processes are allgathered to every host
+    (a collective — call in SPMD lockstep on all processes, like every
+    other op on global arrays); anything else is a plain np.asarray.  The
+    moral equivalent of the reference's gather-to-rank-0 before host-side
+    stages (pyDNMF.py:196-202), except every host gets the copy."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def is_proc0() -> bool:
+    """Whether this process plays the reference's rank-0 writer role."""
+    return jax.process_index() == 0
+
+
+def sync_processes(name: str) -> None:
+    """Cross-process barrier (no-op single-process): order file writes by
+    process 0 before reads by the others — the reference gets this ordering
+    from its blocking collectives + shared-FS assumption."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:

@@ -55,14 +55,20 @@ class Checkpoint:
     def save(self, flag: int, perturbation: int, k: int, seed: int = 0):
         if not self.enabled:
             return
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
         st = CheckpointState(flag=flag, perturbation=perturbation, k=k,
                              seed=seed)
+        self.state = st              # in-memory state tracks on EVERY process
+        import jax
+        if jax.process_index() != 0:
+            # rank-0-style writes (reference utils.py:522-531); multi-host
+            # runs assume a shared results FS, as the reference's mpirun
+            # jobs do
+            return
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(dataclasses.asdict(st), f)
         os.replace(tmp, self.path)   # atomic, unlike the reference's pickle
-        self.state = st
 
     def resume_k(self, start_k: int, step_k: int) -> int:
         """Starting k after a resume: a k whose results were fully saved

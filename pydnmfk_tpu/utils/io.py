@@ -63,6 +63,11 @@ class DataReader:
         # returned array's shape only for pad_to_mesh reads
         self.last_global_shape: Optional[tuple] = None
         self._warned_cache_fallback = False
+        # locality telemetry (asserted by tests/_multihost_worker.py):
+        # which pre-split 'folder' chunk files this process opened, and
+        # which CSR row panels it materialized from an .npz
+        self.folder_chunks_read: set = set()
+        self.npz_rows_materialized: list = []
 
     # ------------------------------------------------------------------
     def _path(self) -> str:
@@ -155,6 +160,180 @@ class DataReader:
             shape=M.shape, unique_indices=True)
         return bcoo.sort_indices()
 
+    # -- npz sparse: per-host CSR panel streaming -----------------------
+    @staticmethod
+    def _npz_member_header(zf, name):
+        """(dtype, shape, stream) positioned at the first data byte."""
+        from numpy.lib import format as npfmt
+        f = zf.open(name)
+        version = npfmt.read_magic(f)
+        if version == (1, 0):
+            shape, _, dtype = npfmt.read_array_header_1_0(f)
+        else:
+            shape, _, dtype = npfmt.read_array_header_2_0(f)
+        return dtype, shape, f
+
+    @classmethod
+    def _npz_member_read(cls, zf, name):
+        """Full (small) member, e.g. format/shape/indptr."""
+        from numpy.lib import format as npfmt
+        with zf.open(name) as f:
+            return npfmt.read_array(f)
+
+    @classmethod
+    def _npz_member_slice(cls, zf, name, start: int, count: int,
+                          chunk_bytes: int = 1 << 24):
+        """Elements [start, start+count) of a 1-D member.
+
+        Zip members are DEFLATE streams with no random access, so the
+        prefix is decompressed and DISCARDED in bounded chunks — memory
+        stays O(chunk) and only the requested panel is materialized."""
+        dtype, _, f = cls._npz_member_header(zf, name)
+        with f:
+            item = dtype.itemsize
+            skip = start * item
+            while skip > 0:
+                b = f.read(min(skip, chunk_bytes))
+                if not b:
+                    raise EOFError(f"truncated npz member {name}")
+                skip -= len(b)
+            out = np.empty(count, dtype)
+            view = out.view(np.uint8)
+            got, need = 0, count * item
+            while got < need:
+                b = f.read(min(need - got, chunk_bytes))
+                if not b:
+                    raise EOFError(f"truncated npz member {name}")
+                view[got:got + len(b)] = np.frombuffer(b, np.uint8)
+                got += len(b)
+        return out
+
+    @classmethod
+    def _npz_stream_foreach(cls, zf, name, fn, chunk_bytes: int = 1 << 24):
+        """Stream a 1-D member through ``fn(chunk, elem_offset)`` without
+        ever materializing it (used for the per-block count pass)."""
+        dtype, _, f = cls._npz_member_header(zf, name)
+        with f:
+            item = dtype.itemsize
+            off, carry = 0, b""
+            while True:
+                b = f.read(chunk_bytes)
+                if not b:
+                    break
+                if carry:
+                    b = carry + b
+                usable = len(b) // item * item
+                carry = b[usable:]
+                arr = np.frombuffer(b[:usable], dtype)
+                fn(arr, off)
+                off += arr.shape[0]
+
+    def read_sparse_grid(self, ctx: GridContext):
+        """Grid-sharded sparse triplet with PER-HOST panel reads
+        (VERDICT r3 item 4; reference analog: 'folder' per-rank locality,
+        data_io.py:44-47).
+
+        For a scipy-CSR ``.npz``: every host streams the (small) indptr,
+        makes one O(1)-memory counting pass over the indices member to
+        agree on the padded block width, then MATERIALIZES only the data/
+        indices of the CSR row panels its own devices' grid blocks cover.
+        Returns ``(GridShardedSparse, (m_pad, n_pad), perm, nnz)`` —
+        ``perm`` maps block slots to CSR storage order (padding = nnz),
+        the same contract as ops/sparse.shard_sparse_grid(return_perm=True).
+
+        Non-CSR npz files fall back to the host-global read + block
+        partition (exact, but without per-host locality)."""
+        import zipfile
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..ops.sparse import GridShardedSparse, shard_sparse_grid
+        from ..parallel.mesh import COL_AXIS, ROW_AXIS
+        from ..parallel.partition import padded_dim
+
+        path = os.path.join(self.fpath, self.fname + ".npz")
+        zf = zipfile.ZipFile(path)
+        names = set(zf.namelist())
+        csr = ("format.npy" in names
+               and bytes(self._npz_member_read(zf, "format.npy")) == b"csr")
+        if not csr:
+            A = self._read_sparse()
+            self.last_global_shape = tuple(A.shape)
+            gs, dims, perm = shard_sparse_grid(A, ctx, return_perm=True)
+            return gs, dims, perm, int(A.nse)
+
+        m, n = (int(v) for v in self._npz_member_read(zf, "shape.npy"))
+        self.last_global_shape = (m, n)
+        indptr = np.asarray(self._npz_member_read(zf, "indptr.npy"),
+                            np.int64)
+        nnz = int(indptr[-1])
+        p_r, p_c = ctx.shape
+        m_pad, n_pad = padded_dim(m, p_r), padded_dim(n, p_c)
+        br, bc = m_pad // p_r, n_pad // p_c
+
+        # pass 1 (O(chunk) memory, nothing kept): per-block nnz counts —
+        # identical on every host, so the padded width e_max is agreed
+        # without any cross-host exchange.  Rows come from searchsorted
+        # on indptr, so no nnz-sized index array is ever built.
+        counts = np.zeros((p_r, p_c), np.int64)
+
+        def count_chunk(cols, off):
+            pos = np.arange(off, off + cols.shape[0], dtype=np.int64)
+            i = (np.searchsorted(indptr, pos, side="right") - 1) // br
+            j = cols.astype(np.int64) // bc
+            np.add.at(counts, (i, j), 1)
+
+        self._npz_stream_foreach(zf, "indices.npy", count_chunk)
+        e_max = max(int(counts.max()), 1)
+
+        # which grid blocks live on THIS host's devices
+        sharding = NamedSharding(ctx.mesh, P(ROW_AXIS, COL_AXIS, None))
+        local = set()
+        for idx in sharding.addressable_devices_indices_map(
+                (p_r, p_c, e_max)).values():
+            rs, cs = idx[0], idx[1]
+            for i in range(rs.start or 0, rs.stop or p_r):
+                for j in range(cs.start or 0, cs.stop or p_c):
+                    local.add((i, j))
+        need_rows = sorted({i for i, _ in local})
+
+        # pass 2: materialize ONLY the local row panels
+        blocks = {}
+        for i in need_rows:
+            r0, r1 = i * br, min((i + 1) * br, m)
+            s, e = int(indptr[r0]), int(indptr[r1])
+            self.npz_rows_materialized.append((r0, r1))
+            cols = self._npz_member_slice(zf, "indices.npy", s, e - s)
+            data = self._npz_member_slice(zf, "data.npy", s, e - s)
+            rows = np.repeat(np.arange(r0, r1, dtype=np.int64),
+                             np.diff(indptr[r0:r1 + 1]))
+            j_of = cols.astype(np.int64) // bc
+            for j in range(p_c):
+                if (i, j) not in local:
+                    continue
+                sel = np.nonzero(j_of == j)[0]
+                cnt = sel.shape[0]
+                d_b = np.zeros((e_max,), self.precision)
+                r_b = np.zeros((e_max,), np.int32)
+                c_b = np.zeros((e_max,), np.int32)
+                p_b = np.full((e_max,), nnz, np.int32)
+                d_b[:cnt] = data[sel]
+                r_b[:cnt] = rows[sel] - i * br
+                c_b[:cnt] = cols[sel] - j * bc
+                p_b[:cnt] = (s + sel).astype(np.int32)
+                blocks[(i, j)] = (d_b, r_b, c_b, p_b)
+
+        def make(which, dtype):
+            def cb(index):
+                i = index[0].start or 0
+                j = index[1].start or 0
+                return blocks[(i, j)][which][None, None, :]
+            return jax.make_array_from_callback(
+                (p_r, p_c, e_max), sharding, cb)
+
+        gs = GridShardedSparse(make(0, self.precision), make(1, np.int32),
+                               make(2, np.int32), (m_pad, n_pad),
+                               (br, bc), ctx.mesh)
+        return gs, (m_pad, n_pad), make(3, np.int32), nnz
+
     def _global_shape(self) -> tuple:
         """Global dims WITHOUT materializing data where possible."""
         path = self._block_readable_path()
@@ -166,6 +345,57 @@ class DataReader:
             return tuple(np.load(path, mmap_mode="r").shape)
         return tuple(np.asarray(
             _read_full(self._path(), self.ftype)).shape)
+
+    # -- 'folder' format: pre-split per-rank chunks ---------------------
+    def _folder_chunk_path(self, rank: int) -> str:
+        return os.path.join(self.fpath, f"{self.fname}{rank}.npy")
+
+    def _folder_shape(self) -> tuple:
+        """Global dims from the chunk npy HEADERS only (no data read):
+        m = sum of first-column chunk heights, n = sum of first-row
+        widths — the remainder-balanced layout is row/col separable."""
+        from ..native import _parse_npy_header
+        p_r, p_c = self.pgrid
+
+        def cshape(rank):
+            path = self._folder_chunk_path(rank)
+            info = _parse_npy_header(path)
+            if info is not None:
+                return tuple(info[1])
+            return tuple(np.load(path, mmap_mode="r").shape)
+
+        m = sum(cshape(i * p_c)[0] for i in range(p_r))
+        n = sum(cshape(j)[1] for j in range(p_c))
+        return m, n
+
+    def _read_block_folder(self, r0, r1, c0, c1, shape) -> np.ndarray:
+        """One [r0,r1) x [c0,c1) block assembled from ONLY the overlapping
+        chunk files (mmap-sliced): on a mesh each host touches just the
+        chunks its devices' blocks intersect — the locality the reference's
+        'folder' format exists for (data_io.py:44-47,104-105), which the
+        round-3 reader lost by reassembling the full matrix host-side."""
+        from ..parallel.partition import block_range
+        p_r, p_c = self.pgrid
+        m, n = shape
+        rows = []
+        for i in range(p_r):
+            rs, re = block_range(m, p_r, i)
+            if re <= r0 or rs >= r1:
+                continue
+            cols = []
+            for j in range(p_c):
+                cs, ce = block_range(n, p_c, j)
+                if ce <= c0 or cs >= c1:
+                    continue
+                self.folder_chunks_read.add(i * p_c + j)
+                chunk = np.load(self._folder_chunk_path(i * p_c + j),
+                                mmap_mode="r")
+                cols.append(np.asarray(
+                    chunk[max(r0, rs) - rs:min(r1, re) - rs,
+                          max(c0, cs) - cs:min(c1, ce) - cs]))
+            rows.append(cols[0] if len(cols) == 1 else np.hstack(cols))
+        out = rows[0] if len(rows) == 1 else np.vstack(rows)
+        return out.astype(self.precision)
 
     def read_chunk(self, rank: int) -> np.ndarray:
         """One grid block (reference data_partition, data_io.py:70-83),
@@ -194,7 +424,8 @@ class DataReader:
     def _read_impl(self, ctx, pad_to_mesh: bool = False):
         if self.ftype == "npz":
             # returned as BCOO; NMF shard-partitions the triplet itself
-            # (ops/sparse.py::shard_sparse_grid) on multi-device grids
+            # (ops/sparse.py::shard_sparse_grid) on multi-device grids.
+            # For per-host panel reads on a mesh use read_sparse_grid().
             A = self.read_global()
             self.last_global_shape = tuple(A.shape)
             return A
@@ -202,15 +433,9 @@ class DataReader:
             A = self.read_global()
             self.last_global_shape = tuple(A.shape)
             return A
-        if self.ftype == "folder":
-            # pre-split per-rank chunks: reassembled host-side (their
-            # remainder-balanced layout matches the reference, not XLA's
-            # even tiling)
-            A = self.read_global()
-            self.last_global_shape = tuple(A.shape)
-            return A
 
-        shape = self._global_shape()
+        folder = self.ftype == "folder"
+        shape = self._folder_shape() if folder else self._global_shape()
         self.last_global_shape = shape
         sharding = ctx.sharding_A
         p_r, p_c = ctx.shape
@@ -226,6 +451,11 @@ class DataReader:
             out_shape = (padded_dim(m, p_r), padded_dim(n, p_c))
         else:
             out_shape = shape
+        if folder:
+            read_block = lambda r0, r1, c0, c1: self._read_block_folder(
+                r0, r1, c0, c1, shape)
+        else:
+            read_block = self._read_block
 
         def cb(index):
             rs, cs = index
@@ -234,7 +464,7 @@ class DataReader:
             rr, cc = min(r1, m), min(c1, n)
             if rr <= r0 or cc <= c0:         # fully inside the padding
                 return np.zeros((r1 - r0, c1 - c0), self.precision)
-            blk = self._read_block(r0, rr, c0, cc)
+            blk = read_block(r0, rr, c0, cc)
             if rr < r1 or cc < c1:           # zero-pad the mesh remainder
                 blk = np.pad(blk, ((0, r1 - rr), (0, c1 - cc)))
             return blk

@@ -20,10 +20,20 @@ def _free_port():
 
 def test_two_process_sharded_step(tmp_path):
     rng = np.random.default_rng(42)
-    np.save(tmp_path / "A.npy", rng.random((16, 8)).astype(np.float32))
+    A = rng.random((16, 8)).astype(np.float32)
+    np.save(tmp_path / "A.npy", A)
     from scipy.io import savemat
     savemat(tmp_path / "B.mat",
             {"X": rng.random((15, 8)).astype(np.float32)})
+    # 'folder' fixture: A pre-split on a (2, 2) pgrid (reference layout)
+    from pydnmfk_tpu.parallel.partition import partition_slices
+    for r, sl in enumerate(partition_slices((2, 2), A.shape)):
+        np.save(tmp_path / f"F{r}.npy", A[sl])
+    # sparse CSR npz fixture
+    from scipy import sparse as sp
+    S = sp.random(16, 8, density=0.3, format="csr", random_state=3,
+                  dtype=np.float64)
+    sp.save_npz(tmp_path / "S.npz", S)
 
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
@@ -36,7 +46,7 @@ def test_two_process_sharded_step(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=150)
+            out, _ = p.communicate(timeout=420)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -45,3 +55,11 @@ def test_two_process_sharded_step(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"MULTIHOST_OK {pid}" in out, out
+    # both processes ran the FULL NMFk pipeline and agreed on nopt
+    nopts = []
+    for pid, out in enumerate(outs):
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"NMFK_NOPT {pid} ")]
+        assert line, out
+        nopts.append(int(line[0].split()[-1]))
+    assert nopts[0] == nopts[1], nopts

@@ -126,6 +126,81 @@ def test_prepadded_input_matches_host_array_path(tmp_path, cache_dir):
     np.testing.assert_array_equal(np.asarray(H1), np.asarray(H2))
 
 
+def test_folder_mesh_block_reads(tmp_path):
+    """'folder' chunks on a mesh are assembled from ONLY the overlapping
+    chunk files per block (VERDICT r3 item 4) — no host-side reassembly of
+    the full matrix; uneven shapes pad inside the callbacks."""
+    from pydnmfk_tpu.parallel.partition import partition_slices
+
+    rng = np.random.default_rng(2)
+    X = rng.random((10, 6)).astype(np.float32)
+    for r, sl in enumerate(partition_slices((2, 2), X.shape)):
+        np.save(tmp_path / f"F{r}.npy", X[sl])
+
+    r = DataReader(str(tmp_path), "F", "folder", pgrid=(2, 2))
+    assert r._folder_shape() == (10, 6)
+    # a block inside the top-left folder chunk touches only that file
+    blk = r._read_block_folder(0, 3, 0, 2, (10, 6))
+    np.testing.assert_allclose(blk, X[0:3, 0:2])
+    assert r.folder_chunks_read == {0}
+    # a block spanning the row split touches exactly the two row chunks
+    r2 = DataReader(str(tmp_path), "F", "folder", pgrid=(2, 2))
+    blk = r2._read_block_folder(3, 8, 0, 3, (10, 6))
+    np.testing.assert_allclose(blk, X[3:8, 0:3])
+    assert r2.folder_chunks_read == {0, 2}
+
+    # full mesh read (uneven -> pad_to_mesh) equals the padded matrix and
+    # never calls read_global
+    r3 = DataReader(str(tmp_path), "F", "folder", pgrid=(2, 2))
+    r3.read_global = lambda: pytest.fail("read_global on the folder path")
+    ctx = grid_context(4, 2)
+    A = r3.read(ctx, pad_to_mesh=True)
+    assert A.shape == (12, 6) and r3.last_global_shape == (10, 6)
+    want = np.zeros((12, 6), np.float32)
+    want[:10] = X
+    np.testing.assert_allclose(np.asarray(A), want)
+
+
+def test_npz_sparse_grid_streamed_read(tmp_path):
+    """read_sparse_grid streams a CSR npz into grid blocks that compute
+    identically to the host-global BCOO + shard_sparse_grid path, tracking
+    which row panels were materialized (VERDICT r3 item 4)."""
+    import jax.numpy as jnp
+    from scipy import sparse as sp
+    from pydnmfk_tpu.ops.sparse import (rs_a_ht, rs_kl_wtu, rs_wt_a,
+                                        shard_sparse_grid)
+
+    rng = np.random.default_rng(4)
+    M = sp.random(37, 23, density=0.2, format="csr", random_state=5,
+                  dtype=np.float64)
+    sp.save_npz(tmp_path / "S.npz", M)
+    ctx = grid_context(2, 2)
+    r = DataReader(str(tmp_path), "S", "npz", precision="float32")
+    gs, dims, perm, nnz = r.read_sparse_grid(ctx)
+    assert nnz == M.nnz and r.last_global_shape == (37, 23)
+    # both row panels materialized (single host owns the whole mesh), and
+    # nothing outside them
+    assert sorted(r.npz_rows_materialized) == [(0, 19), (19, 37)]
+
+    A_bcoo = DataReader(str(tmp_path), "S", "npz",
+                        precision="float32").read_global()
+    gs2, dims2 = shard_sparse_grid(A_bcoo, ctx)
+    assert dims == dims2
+    k = 3
+    W = jnp.asarray(rng.random((dims[0], k)), jnp.float32)
+    H = jnp.asarray(rng.random((k, dims[1])), jnp.float32)
+    np.testing.assert_allclose(np.asarray(rs_a_ht(gs, H)),
+                               np.asarray(rs_a_ht(gs2, H)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rs_wt_a(gs, W)),
+                               np.asarray(rs_wt_a(gs2, W)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rs_kl_wtu(gs, W, H, 1e-7)),
+        np.asarray(rs_kl_wtu(gs2, W, H, 1e-7)), rtol=1e-5)
+    # perm covers every stored entry exactly once (padding slots == nnz)
+    p = np.sort(np.asarray(perm).ravel())
+    assert (p[:nnz] == np.arange(nnz)).all() and (p[nnz:] == nnz).all()
+
+
 def test_runner_uneven_mat_orig_shape_threading(tmp_path, cache_dir):
     """End-to-end: Runner on an uneven mat over a (4, 2) mesh returns
     factors at the TRUE dims and the same reconstruction error as the
