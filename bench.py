@@ -23,10 +23,14 @@ import time
 M, N, K = 57600, 38400, 32
 ITERS = 10
 BASELINE_2PROC_S = 115.0
-# v5e peak matmul throughput (bf16 MXU); f32 runs through the same MXU via
-# multi-pass at ~1/4 rate.  Used only for the mfu_pct diagnostics.
+# v5e peak matmul throughput (bf16 MXU).  ALL mfu_pct diagnostics are
+# reported against this single number: JAX's DEFAULT matmul precision on
+# TPU executes f32-input dots as bf16 passes on the same MXU, so a
+# separate "f32 peak" misattributes utilization (round-3's /4 constant
+# made a fast f32 HALS row read as >100% MFU).  f32-storage rows are
+# HBM-bound anyway — their mfu is a denominator-honest low number.
 PEAK_BF16 = 197e12
-PEAK_F32 = PEAK_BF16 / 4
+PEAK_F32 = PEAK_BF16
 
 
 def time_solve(A, W, H, cfg, reps=3):
@@ -89,6 +93,22 @@ def main():
     headline["vs_baseline"] = round(BASELINE_2PROC_S * scale / dt, 2)
 
     if not quick:
+        # ---- HALS / BCD at the flagship shape (VERDICT r3 item 7): the
+        # reference offers both as first-class methods (dist_nmf.py:411-579,
+        # 873-1047).  HALS FLOPs live in the same AH^T/W^T A matmuls as MU
+        # plus a sequential per-column loop (m*k^2 extra work; latency-
+        # bound when k is large); BCD runs its own extrapolated inner loop
+        # with an objective eval per iteration (~3 A-sized products/iter,
+        # flop_factor 6) ----
+        cfg = base.replace(method="hals")
+        dt = time_solve(A, W0, H0, cfg)
+        rows.append(make_row(f"fro_hals_{m}x{n}_k{k}_f32", dt, m, n, k,
+                             ITERS, PEAK_F32))
+        cfg = base.replace(method="bcd")
+        dt = time_solve(A, W0, H0, cfg)
+        rows.append(make_row(f"fro_bcd_{m}x{n}_k{k}_f32", dt, m, n, k,
+                             ITERS, PEAK_F32, flop_factor=6.0))
+
         Ab = A.astype(jnp.bfloat16)
 
         # ---- bf16-A standard (two-pass XLA) ----
@@ -171,6 +191,12 @@ def main():
             kW2, kH2 = jax.random.split(jax.random.fold_in(key, 99))
             W2 = jax.random.uniform(kW2, (m, k2), jnp.float32)
             H2 = jax.random.uniform(kH2, (k2, n), jnp.float32)
+            # HALS at k=256: 256 sequential column updates per iteration —
+            # the shape most exposed to MXU starvation (VERDICT r3 item 7)
+            cfg = base.replace(k=k2, method="hals")
+            dt = time_solve(A, W2, H2, cfg)
+            rows.append(make_row(f"fro_hals_{m}x{n}_k{k2}_f32", dt, m, n,
+                                 k2, ITERS, PEAK_F32))
             Ab = A.astype(jnp.bfloat16)
             del A            # k=256 temps don't fit next to A (f32) + Ab
             cfg = base.replace(k=k2, a_precision="bfloat16")
@@ -225,6 +251,36 @@ def main():
                 "value": round(dt_e, 4), "unit": "s",
                 "dense_s": round(dt_d, 4),
                 "speedup_vs_densified": round(dt_d / dt_e, 2)})
+
+            # ---- batched ELL ensemble: the stacked-member gather rule
+            # (ops/ell.py::_take_rows) turns b narrow gathers into one
+            # wide one — per-member cost must drop well below the single
+            # solve (the reference solves members serially) ----
+            from pydnmfk_tpu.config import NMFConfig as _NC
+            from pydnmfk_tpu.models.nmfk import _ensemble_program_sparse_ell
+            b_ens = 8
+            packed = ell_pack(Asp, return_perms=True)
+            E2, rperm, cperm, rt_p, ct_p = packed
+            ncfg = _NC(k=K, itr=ITERS, norm="fro", method="mu")
+            prog = _ensemble_program_sparse_ell(
+                ncfg, b_ens, "uniform", 0.03, ms, ns)
+            key_e = jax.random.key(0)
+            Wb, Hb, errs = prog(Asp.data, E2, rperm, cperm, rt_p, ct_p,
+                                key_e, 0)
+            float(jnp.sum(errs))
+            t0 = time.perf_counter()
+            reps = 3
+            off = 0
+            for _ in range(reps):
+                off += b_ens        # new member keys: no cached replay
+                Wb, Hb, errs = prog(Asp.data, E2, rperm, cperm, rt_p,
+                                    ct_p, key_e, off)
+            float(jnp.sum(errs)) ; float(jnp.sum(Wb))
+            per_member = (time.perf_counter() - t0) / reps / b_ens
+            rows.append({
+                "metric": f"sparse_ell_ensemble_b{b_ens}_{ms}x{ns}_k{K}",
+                "value": round(per_member, 4), "unit": "s/member",
+                "speedup_vs_serial_single": round(dt_e / per_member, 2)})
             # beyond-HBM capability: 1e10 elements (40 GB f32) at 2e-5
             mb = nb = 100_000
             Asp = sparse_coo(mb, nb, 2_000_000, seed=4)

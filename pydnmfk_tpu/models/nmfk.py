@@ -224,8 +224,10 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
                 chunk=0, tol=float(ncfg.tol),
                 tol_check_every=int(ncfg.tol_check_every))
 
-        return jax.vmap(member)(rvals_b, rtail_b, cvals_b, ctail_b,
-                                W0, H0)
+        from ..ops.ell import ell_pallas_disabled
+        with ell_pallas_disabled():      # vmapped pallas_call: XLA path
+            return jax.vmap(member)(rvals_b, rtail_b, cvals_b, ctail_b,
+                                    W0, H0)
 
     return jax.jit(program)
 

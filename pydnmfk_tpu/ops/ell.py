@@ -186,6 +186,11 @@ def _gather_product(vals, idx, M, ratio_with=None, eps=0.0):
     Ma = M.astype(acc)
 
     def block(v, i, x):
+        # jnp.take is the settled-fastest gather here: a Pallas VMEM-table
+        # kernel is not expressible (Mosaic dynamic_gather limits) and a
+        # stacked-member custom_vmap gather A/Bs at 1.00x in situ — the
+        # full evidence trail is tools/gather_forms_probe*.py,
+        # gather_stack_probe.py, ell_stack_ab.py + docs/PERFORMANCE.md
         g = jnp.take(Ma, i.reshape(-1), axis=0).reshape(v.shape[0], w, k)
         coef = v.astype(acc)
         if x is not None:
@@ -217,9 +222,50 @@ def _gather_product(vals, idx, M, ratio_with=None, eps=0.0):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Pallas dispatch (ops/pallas_ell.py): the VMEM-table-gather kernel is
+# CORRECT (interpret-mode tests) but NOT COMPILABLE on this toolchain —
+# Mosaic's only gather is tpu.dynamic_gather over same-shape 2-D operands,
+# and every configuration beyond a single-register 128-lane shuffle
+# crashes the backend compiler (measured, tools/gather_forms_probe*.py).
+# The dispatch therefore stays opt-in (PYDNMFK_PALLAS_ELL=1) until Mosaic
+# grows table gathers; the measured TPU-side win shipped instead is the
+# stacked-member batched gather (_take_rows above).
+# ---------------------------------------------------------------------------
+_PALLAS_ELL_OFF = False
+
+
+class ell_pallas_disabled:
+    def __enter__(self):
+        global _PALLAS_ELL_OFF
+        self._prev = _PALLAS_ELL_OFF
+        _PALLAS_ELL_OFF = True
+
+    def __exit__(self, *exc):
+        global _PALLAS_ELL_OFF
+        _PALLAS_ELL_OFF = self._prev
+
+
+def _try_pallas(vals, idx, M, ratio_with=None, eps=None):
+    """Pallas VMEM-gather product, or None when the XLA path must run."""
+    import os
+    if not os.environ.get("PYDNMFK_PALLAS_ELL"):
+        return None                      # Mosaic cannot compile it (above)
+    if _PALLAS_ELL_OFF or jax.default_backend() != "tpu":
+        return None
+    if jnp.result_type(M.dtype, vals.dtype) == jnp.float64:
+        return None                      # kernels accumulate in f32
+    from .pallas_ell import table_fits_vmem, ell_gather_product
+    if not table_fits_vmem(M.shape[0], M.shape[1]):
+        return None
+    return ell_gather_product(vals, idx, M, ratio_with, eps=eps)
+
+
 def ell_a_ht(A: EllSparse, H):
     """A @ H^T -> (m, k)."""
-    out = _gather_product(A.rvals, A.rcols, H.T)
+    out = _try_pallas(A.rvals, A.rcols, H.T)
+    if out is None:
+        out = _gather_product(A.rvals, A.rcols, H.T)
     if A.rtail_d.shape[0]:
         from .sparse import a_ht
         out = out + a_ht(A.rtail_d, A.rtail_r, A.rtail_c, H, A.shape[0])
@@ -228,7 +274,9 @@ def ell_a_ht(A: EllSparse, H):
 
 def ell_wt_a(A: EllSparse, W):
     """W^T @ A -> (k, n)."""
-    out = _gather_product(A.cvals, A.crows, W)
+    out = _try_pallas(A.cvals, A.crows, W)
+    if out is None:
+        out = _gather_product(A.cvals, A.crows, W)
     if A.ctail_d.shape[0]:
         from .sparse import wt_a
         out = out + wt_a(A.ctail_d, A.ctail_r, A.ctail_c, W,
@@ -238,7 +286,9 @@ def ell_wt_a(A: EllSparse, W):
 
 def ell_kl_uht(A: EllSparse, W, H, eps):
     """(A / (WH + eps)) @ H^T -> (m, k); U shares A's sparsity pattern."""
-    out = _gather_product(A.rvals, A.rcols, H.T, ratio_with=W, eps=eps)
+    out = _try_pallas(A.rvals, A.rcols, H.T, ratio_with=W, eps=eps)
+    if out is None:
+        out = _gather_product(A.rvals, A.rcols, H.T, ratio_with=W, eps=eps)
     if A.rtail_d.shape[0]:
         from .sparse import a_ht, sddmm
         wh = sddmm(W, H, A.rtail_r, A.rtail_c)
@@ -249,7 +299,9 @@ def ell_kl_uht(A: EllSparse, W, H, eps):
 
 def ell_kl_wtu(A: EllSparse, W, H, eps):
     """W^T @ (A / (WH + eps)) -> (k, n)."""
-    out = _gather_product(A.cvals, A.crows, W, ratio_with=H.T, eps=eps)
+    out = _try_pallas(A.cvals, A.crows, W, ratio_with=H.T, eps=eps)
+    if out is None:
+        out = _gather_product(A.cvals, A.crows, W, ratio_with=H.T, eps=eps)
     if A.ctail_d.shape[0]:
         from .sparse import sddmm, wt_a
         wh = sddmm(W, H, A.ctail_r, A.ctail_c)
@@ -270,14 +322,19 @@ def ell_col_sqsum(A: EllSparse):
 
 def ell_time_model(m: int, n: int, nse: int, k: int,
                    a_bytes: int = 4) -> tuple:
-    """(t_ell, t_dense) rough per-product seconds on one v5e, from
-    measured rates (tools/sparse_probe.py + BENCH_r03): gather ~32 GB/s
-    of (nnz x k) f32 traffic PLUS a ~3 ms per-product dispatch/fusion
-    floor (measured: at 16384^2 d=5e-4 the ELL solve is overhead-bound
-    and loses to dense), vs dense streaming A at ~700 GB/s.  Net: ELL
-    wins for very sparse matrices with LARGE m*n (>~10^9 elements) and
-    always in the beyond-HBM regime.  Used by the densify policy; coarse
-    on purpose."""
-    t_ell = 3e-3 + nse * max(k, 8) * 4 / 32e9
+    """(t_ell, t_dense) rough per-product seconds on one v5e.
+
+    Refined round 4 (tools/gather_forms_probe*.py, gather_stack_probe.py):
+    the XLA gather is ROW-WIDTH-bound — ~3.4 ns per gathered slot for
+    narrow rows (k <= 32, 128 B), byte-bound at ~114 GB/s once rows reach
+    ~256 B (k >= 64 f32) — plus a ~3 ms per-product dispatch/fusion floor
+    (measured: at 16384^2 d=5e-4 the ELL solve is overhead-bound and
+    loses to dense).  Dense streams A at ~700 GB/s on the MXU path.  Net:
+    ELL wins for very sparse matrices with LARGE m*n (>~10^9 elements)
+    and always in the beyond-HBM regime.  The batched ensemble gathers
+    faster per member (stacked-member rule, _take_rows: ~1.3 ns/slot at
+    b=16) — this single-solve model is the conservative bound.  Used by
+    the densify policy; coarse on purpose."""
+    t_ell = 3e-3 + nse * max(3.4e-9, k * 4 / 114e9)
     t_dense = m * n * a_bytes / 700e9
     return t_ell, t_dense
