@@ -203,6 +203,12 @@ def main():
             dt = time_solve(Ab, W2, H2, cfg)
             rows.append(make_row(f"fro_mu_bf16A_{m}x{n}_k{k2}_flagship",
                                  dt, m, n, k2, ITERS, PEAK_BF16))
+            # HALS with bf16 A storage: halves the A-streaming bound that
+            # dominates the f32 HALS row (docs/PERFORMANCE.md analysis)
+            cfg = base.replace(k=k2, method="hals", a_precision="bfloat16")
+            dt = time_solve(Ab, W2, H2, cfg)
+            rows.append(make_row(f"fro_hals_bf16A_{m}x{n}_k{k2}", dt, m,
+                                 n, k2, ITERS, PEAK_BF16))
             cfg = base.replace(k=k2, norm="kl", a_precision="bfloat16",
                                kl_chunk=4096, use_fused=False)
             dt = time_solve(Ab, W2, H2, cfg)

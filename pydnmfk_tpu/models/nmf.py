@@ -330,7 +330,8 @@ class NMF:
                 # a_precision (e.g. bf16 nnz values) applies to sparse
                 # storage too — previously silently ignored
                 from ..ops.ell import EllSparse
-                if isinstance(A, EllSparse):
+                from ..ops.sparse import SparseGridInput
+                if isinstance(A, (EllSparse, SparseGridInput)):
                     A = A.astype(cfg.a_dtype)
                 elif hasattr(A, "indices"):      # BCOO
                     from jax.experimental import sparse as jsparse
@@ -387,8 +388,22 @@ class NMF:
 
         a_scale = None
         if sparse_A:
+            from ..ops.sparse import SparseGridInput
             m_sol, n_sol = A.shape
-            if self.ctx.shape != (1, 1):
+            if isinstance(A, SparseGridInput):
+                # reader-produced pre-sharded blocks (utils/io.py)
+                if A.gs.mesh != self.ctx.mesh:
+                    raise ValueError(
+                        "SparseGridInput was read for a different mesh "
+                        "than this NMF's grid context")
+                (m_pad, n_pad), A = A.dims, A.gs
+                if m_pad != m_sol:
+                    W = jnp.pad(W, ((0, m_pad - m_sol), (0, 0)))
+                if n_pad != n_sol:
+                    H = jnp.pad(H, ((0, 0), (0, n_pad - n_sol)))
+                W = jax.device_put(W, self.ctx.sharding_W)
+                H = jax.device_put(H, self.ctx.sharding_H)
+            elif self.ctx.shape != (1, 1):
                 # grid-sharded triplet (ops/sparse.py): W row-sharded,
                 # H col-sharded — the reference's 1D/2D topologies.
                 # (p_e-only contexts keep the triplet unsharded: the

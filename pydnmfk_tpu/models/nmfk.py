@@ -382,7 +382,13 @@ class NMFk:
                 "re-round every member — use a_precision='bfloat16' for "
                 "the ensemble")
         self._ell = None
-        if linalg.is_sparse(A):
+        from ..ops.sparse import SparseGridInput
+        bundle = isinstance(A, SparseGridInput)
+        if bundle and A.gs.mesh != self.ctx.mesh:
+            raise ValueError(
+                "SparseGridInput was read for a different mesh than this "
+                "NMFk's grid context — read with the same GridContext")
+        if linalg.is_sparse(A) and not bundle:
             from ..ops.ell import EllSparse, ell_pack
             from ..ops.sparse import densify_for_backend
             # single-device TPU: the measured policy picks dense-MXU vs
@@ -415,11 +421,15 @@ class NMFk:
             if cfg.seed_grid not in (None, (1, 1)):
                 raise ValueError("seed-grid MPI compat is dense-only")
             if jnp.dtype(A.data.dtype) != jnp.dtype(cfg.nmf.dtype):
-                from jax.experimental import sparse as jsparse
-                A = jsparse.BCOO((A.data.astype(cfg.nmf.dtype), A.indices),
-                                 shape=A.shape,
-                                 unique_indices=A.unique_indices,
-                                 indices_sorted=A.indices_sorted)
+                if bundle:
+                    A = A.astype(cfg.nmf.dtype)
+                else:
+                    from jax.experimental import sparse as jsparse
+                    A = jsparse.BCOO(
+                        (A.data.astype(cfg.nmf.dtype), A.indices),
+                        shape=A.shape,
+                        unique_indices=A.unique_indices,
+                        indices_sorted=A.indices_sorted)
         else:
             A = jnp.asarray(A, dtype=cfg.nmf.dtype)
         self._orig_shape = tuple(orig_shape) if orig_shape else A.shape
@@ -436,7 +446,11 @@ class NMFk:
             self._work_shape = (tuple(orig_shape) if orig_shape
                                 else A.shape)
         self._grid_sparse = None
-        if self._sparse and self.ctx.shape != (1, 1):
+        if bundle:
+            # reader-produced pre-sharded blocks: use them directly (no
+            # host-global triplet was ever built)
+            self._grid_sparse = (A.gs, A.perm)
+        elif self._sparse and self.ctx.shape != (1, 1):
             # grid-sharded triplet, built once: the ensemble batches data
             # vectors over these shared block indices
             from ..ops.sparse import shard_sparse_grid

@@ -176,6 +176,36 @@ def _block_rows(dim: int, w: int, k: int,
     return max(8, (budget_elems // per_row) // 8 * 8)
 
 
+@jax.custom_batching.custom_vmap
+def _take_rows(table, flat_idx):
+    """table[(S,)-indices] -> (S, k), with a batching rule that stacks
+    member tables into ONE wide gather when the indices are shared.
+
+    Evidence (docs/PERFORMANCE.md "sparse roofline" + tools/ell_stack_ab
+    + BENCH r4): the isolated product pair A/Bs at 1.00x, but inside the
+    full compiled ensemble solve (the fori_loop + error program) the
+    default batched gather lowers much worse — the b=8 ELL ensemble runs
+    0.112 s/member without this rule vs 0.064 with it (1.74x)."""
+    return jnp.take(table, flat_idx, axis=0)
+
+
+@_take_rows.def_vmap
+def _take_rows_vmap(axis_size, in_batched, table, flat_idx):
+    tab_b, idx_b = in_batched
+    if idx_b:
+        # member-specific indices: no shared-slot structure to exploit
+        tab = (table if tab_b
+               else jnp.broadcast_to(table, (axis_size,) + table.shape))
+        out = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(tab, flat_idx)
+        return out, True
+    if not tab_b:
+        return jnp.take(table, flat_idx, axis=0), False
+    b, n, k = table.shape
+    wide = jnp.moveaxis(table, 0, 1).reshape(n, b * k)
+    out = jnp.take(wide, flat_idx, axis=0)           # ONE wide gather
+    return jnp.moveaxis(out.reshape(-1, b, k), 1, 0), True
+
+
 def _gather_product(vals, idx, M, ratio_with=None, eps=0.0):
     """sum_s vals[b,s] * M[idx[b,s]] -> (dim, k); with ``ratio_with`` (a
     (dim, k) matrix X) the coefficient becomes the KL ratio
@@ -186,12 +216,7 @@ def _gather_product(vals, idx, M, ratio_with=None, eps=0.0):
     Ma = M.astype(acc)
 
     def block(v, i, x):
-        # jnp.take is the settled-fastest gather here: a Pallas VMEM-table
-        # kernel is not expressible (Mosaic dynamic_gather limits) and a
-        # stacked-member custom_vmap gather A/Bs at 1.00x in situ — the
-        # full evidence trail is tools/gather_forms_probe*.py,
-        # gather_stack_probe.py, ell_stack_ab.py + docs/PERFORMANCE.md
-        g = jnp.take(Ma, i.reshape(-1), axis=0).reshape(v.shape[0], w, k)
+        g = _take_rows(Ma, i.reshape(-1)).reshape(v.shape[0], w, k)
         coef = v.astype(acc)
         if x is not None:
             wh = jnp.einsum("bk,bwk->bw", x.astype(acc), g,

@@ -183,6 +183,50 @@ class GridShardedSparse:
         return self.data.shape[-1]
 
 
+class SparseGridInput:
+    """Grid-sharded sparse input bundle from per-host panel reads
+    (utils/io.DataReader.read_sparse_grid): the pre-sharded
+    GridShardedSparse blocks + the slot -> storage-order perm + the flat
+    data vector.  NMF/NMFk consume it directly, skipping the host-global
+    BCOO entirely — on multi-host, no process materializes nonlocal index
+    panels (only the flat values vector is replicated, for the
+    positional member-noise streams).  ``shape`` is the TRUE (m, n);
+    ``dims`` the mesh-padded dims of the blocks.
+
+    Member-noise parity: the perm refers to the file's CSR storage
+    order; for canonical (sorted) CSR that equals BCOO row-major order,
+    so ensembles reproduce the BCOO path bit-for-bit."""
+
+    _pydnmfk_sparse = True            # recognized by linalg.is_sparse
+
+    def __init__(self, gs: "GridShardedSparse", dims, perm, data_flat,
+                 shape):
+        self.gs = gs
+        self.dims = tuple(dims)
+        self.perm = perm
+        self._data = data_flat
+        self.shape = tuple(shape)
+
+    @property
+    def data(self):
+        return self._data
+
+    @property
+    def nse(self) -> int:
+        return int(self._data.shape[0])
+
+    @property
+    def dtype(self):
+        return self._data.dtype
+
+    def astype(self, dtype):
+        gs = GridShardedSparse(self.gs.data.astype(dtype), self.gs.lrows,
+                               self.gs.lcols, self.gs.shape,
+                               self.gs.block, self.gs.mesh)
+        return SparseGridInput(gs, self.dims, self.perm,
+                               self._data.astype(dtype), self.shape)
+
+
 def shard_sparse_grid(A, ctx, return_perm: bool = False):
     """BCOO -> GridShardedSparse on ctx's (p_r, p_c) mesh.  Returns
     (sharded, (m_pad, n_pad)) — dims zero-padded to tile evenly; slice
@@ -374,7 +418,8 @@ def densify_for_backend(A, budget_frac: float = 0.45, allow_ell: bool = True,
     from .linalg import is_sparse
     from .ell import EllSparse
     if (not is_sparse(A) or isinstance(A, GridShardedSparse)
-            or isinstance(A, EllSparse)):
+            or isinstance(A, EllSparse)
+            or isinstance(A, SparseGridInput)):
         return A                      # already committed to a format
     import jax
     if jax.default_backend() == "cpu":

@@ -229,23 +229,28 @@ class DataReader:
                 off += arr.shape[0]
 
     def read_sparse_grid(self, ctx: GridContext):
-        """Grid-sharded sparse triplet with PER-HOST panel reads
+        """Grid-sharded sparse input with PER-HOST panel reads
         (VERDICT r3 item 4; reference analog: 'folder' per-rank locality,
         data_io.py:44-47).
 
         For a scipy-CSR ``.npz``: every host streams the (small) indptr,
         makes one O(1)-memory counting pass over the indices member to
         agree on the padded block width, then MATERIALIZES only the data/
-        indices of the CSR row panels its own devices' grid blocks cover.
-        Returns ``(GridShardedSparse, (m_pad, n_pad), perm, nnz)`` —
+        indices of the CSR row panels its own devices' grid blocks cover
+        — plus the flat VALUES vector (one streamed pass), which stays
+        replicated for the NMFk ensemble's positional noise streams.
+        Returns a ``SparseGridInput`` bundle (ops/sparse.py) that
+        NMF/NMFk consume directly in place of a host-global BCOO; its
         ``perm`` maps block slots to CSR storage order (padding = nnz),
-        the same contract as ops/sparse.shard_sparse_grid(return_perm=True).
+        the same contract as shard_sparse_grid(return_perm=True).
 
         Non-CSR npz files fall back to the host-global read + block
         partition (exact, but without per-host locality)."""
         import zipfile
+        import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..ops.sparse import GridShardedSparse, shard_sparse_grid
+        from ..ops.sparse import (GridShardedSparse, SparseGridInput,
+                                  shard_sparse_grid)
         from ..parallel.mesh import COL_AXIS, ROW_AXIS
         from ..parallel.partition import padded_dim
 
@@ -258,7 +263,8 @@ class DataReader:
             A = self._read_sparse()
             self.last_global_shape = tuple(A.shape)
             gs, dims, perm = shard_sparse_grid(A, ctx, return_perm=True)
-            return gs, dims, perm, int(A.nse)
+            return SparseGridInput(gs, dims, perm, A.data,
+                                   tuple(A.shape))
 
         m, n = (int(v) for v in self._npz_member_read(zf, "shape.npy"))
         self.last_global_shape = (m, n)
@@ -332,7 +338,12 @@ class DataReader:
         gs = GridShardedSparse(make(0, self.precision), make(1, np.int32),
                                make(2, np.int32), (m_pad, n_pad),
                                (br, bc), ctx.mesh)
-        return gs, (m_pad, n_pad), make(3, np.int32), nnz
+        # flat values vector in storage order (one streamed pass; kept
+        # replicated — it feeds the positional member-noise streams)
+        data_flat = jnp.asarray(self._npz_member_slice(
+            zf, "data.npy", 0, nnz).astype(self.precision))
+        return SparseGridInput(gs, (m_pad, n_pad), make(3, np.int32),
+                               data_flat, (m, n))
 
     def _global_shape(self) -> tuple:
         """Global dims WITHOUT materializing data where possible."""
@@ -423,9 +434,13 @@ class DataReader:
 
     def _read_impl(self, ctx, pad_to_mesh: bool = False):
         if self.ftype == "npz":
-            # returned as BCOO; NMF shard-partitions the triplet itself
-            # (ops/sparse.py::shard_sparse_grid) on multi-device grids.
-            # For per-host panel reads on a mesh use read_sparse_grid().
+            if ctx is not None and ctx.shape != (1, 1):
+                # grid context: per-host panel reads straight into the
+                # sharded block layout (SparseGridInput) — the host-global
+                # BCOO is never built
+                return self.read_sparse_grid(ctx)
+            # single-device / 'e'-only contexts: BCOO (NMFk's densify/ELL
+            # policy and the 'e'-sharded ensemble operate on the triplet)
             A = self.read_global()
             self.last_global_shape = tuple(A.shape)
             return A

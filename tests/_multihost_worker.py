@@ -135,7 +135,9 @@ assert reader3.folder_chunks_read == want_chunks, (
 from pydnmfk_tpu.models.updates import mu_fro_step as sparse_mu  # noqa: E402
 
 reader4 = io_mod.DataReader(data_dir, "S", "npz", precision="float32")
-gs, (m_pad, n_pad), perm, nnz = reader4.read_sparse_grid(ctx)
+bundle = reader4.read_sparse_grid(ctx)
+gs, (m_pad, n_pad), perm, nnz = (bundle.gs, bundle.dims, bundle.perm,
+                                 bundle.nse)
 assert (m_pad, n_pad) == (16, 8)
 # this process materialized exactly its own 8-row panel, nothing else
 assert reader4.npz_rows_materialized == [(pid * 8, pid * 8 + 8)], (

@@ -176,8 +176,13 @@ def test_npz_sparse_grid_streamed_read(tmp_path):
     sp.save_npz(tmp_path / "S.npz", M)
     ctx = grid_context(2, 2)
     r = DataReader(str(tmp_path), "S", "npz", precision="float32")
-    gs, dims, perm, nnz = r.read_sparse_grid(ctx)
+    bundle = r.read_sparse_grid(ctx)
+    gs, dims, perm, nnz = bundle.gs, bundle.dims, bundle.perm, bundle.nse
     assert nnz == M.nnz and r.last_global_shape == (37, 23)
+    assert bundle.shape == (37, 23)
+    # the flat values vector is the CSR data member in storage order
+    np.testing.assert_allclose(np.asarray(bundle.data),
+                               M.data.astype(np.float32))
     # both row panels materialized (single host owns the whole mesh), and
     # nothing outside them
     assert sorted(r.npz_rows_materialized) == [(0, 19), (19, 37)]
@@ -199,6 +204,73 @@ def test_npz_sparse_grid_streamed_read(tmp_path):
     # perm covers every stored entry exactly once (padding slots == nnz)
     p = np.sort(np.asarray(perm).ravel())
     assert (p[:nnz] == np.arange(nnz)).all() and (p[nnz:] == nnz).all()
+
+
+def test_npz_bundle_nmfk_matches_bcoo(tmp_path):
+    """NMFk fed a reader SparseGridInput bundle (per-host panel reads, no
+    host-global BCOO) selects the same k with identical statistics as the
+    BCOO path — canonical CSR storage order == BCOO row-major order, so
+    the member noise streams are bit-identical."""
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+    from scipy import sparse as sp
+    from pydnmfk_tpu.config import NMFConfig, NMFkConfig
+    from pydnmfk_tpu.models.nmfk import NMFk
+
+    rng = np.random.default_rng(7)
+    m, n, ktrue = 78, 60, 3
+    W = np.zeros((m, ktrue))
+    for i in range(ktrue):
+        c = (i + 0.5) * m / ktrue
+        W[:, i] = np.exp(-0.5 * ((np.arange(m) - c) / (0.06 * m)) ** 2)
+    H = rng.random((ktrue, n)) + 0.1
+    A = ((W @ H) * (rng.random((m, n)) < 0.5)).astype(np.float32)
+    sp.save_npz(tmp_path / "P.npz", sp.csr_matrix(A))
+
+    mk = lambda sub: NMFkConfig(
+        nmf=NMFConfig(k=0, grid=(2, 2), norm="fro", method="mu", itr=250,
+                      init="rand", seed=42),
+        start_k=2, end_k=4, perturbations=4, noise_var=0.03, sill_thr=0.6,
+        results_path=str(tmp_path / sub) + "/", fname="P",
+        checkpoint=False)
+
+    ctx = grid_context(2, 2)
+    reader = DataReader(str(tmp_path), "P", "npz", precision="float32")
+    bundle = reader.read(ctx)           # grid ctx -> SparseGridInput
+    from pydnmfk_tpu.ops.sparse import SparseGridInput
+    assert isinstance(bundle, SparseGridInput)
+    nb = NMFk(mk("bundle"), ctx)
+    nopt_b = nb.fit(bundle)
+
+    Abcoo = jsparse.BCOO.fromdense(jnp.asarray(A))
+    nc = NMFk(mk("bcoo"), ctx)
+    nopt_c = nc.fit(Abcoo)
+    assert nopt_b == nopt_c == ktrue
+    for k in (2, 3, 4):
+        sb, sc = nb.per_k_stats[k], nc.per_k_stats[k]
+        np.testing.assert_allclose(sb["avgErr"], sc["avgErr"], rtol=1e-5)
+        np.testing.assert_allclose(sb["L_err"], sc["L_err"],
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_runner_npz_grid_single_solve(tmp_path):
+    """Runner on an npz over a (2, 2) grid (now the SparseGridInput path)
+    matches the dense solve of the same matrix."""
+    from pydnmfk_tpu.runner import Runner
+
+    rng = np.random.default_rng(0)
+    from scipy import sparse as sp
+    A = ((rng.random((60, 3)) @ rng.random((3, 40)))
+         * (rng.random((60, 40)) < 0.4)).astype(np.float32)
+    sp.save_npz(tmp_path / "S.npz", sp.csr_matrix(A))
+    np.save(tmp_path / "D.npy", A)
+    kw = dict(fpath=str(tmp_path), results_path=str(tmp_path / "res"), k=3)
+    r1 = Runner(process="pyDNMF", norm="fro", method="mu", itr=150,
+                init="rand").run(grid=(2, 2), ftype="npz", fname="S", **kw)
+    r2 = Runner(process="pyDNMF", norm="fro", method="mu", itr=150,
+                init="rand").run(grid=(2, 2), ftype="npy", fname="D", **kw)
+    np.testing.assert_allclose(r1["err"], r2["err"], rtol=1e-3)
+    assert r1["W"].shape == (60, 3) and r1["H"].shape == (3, 40)
 
 
 def test_runner_uneven_mat_orig_shape_threading(tmp_path, cache_dir):
