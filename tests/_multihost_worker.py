@@ -252,4 +252,50 @@ with h5py.File(os.path.join(res_dir, "B", "2", "results.h5"), "r") as f:
     assert f["ErrTol"].shape == (4,)
 print(f"NMFK_NOPT {pid} {nopt}", flush=True)
 
+# ---------------------------------------------------------------------------
+# SPARSE NMFk across the 2 processes: per-host panel reads (SparseGridInput)
+# feed the grid-sharded ensemble program whose shard_map collectives span
+# both processes; clustering/stats replicate per process from host_local
+# copies.  The planted k must be recovered and agree across processes.
+# ---------------------------------------------------------------------------
+from scipy import sparse as sp2  # noqa: E402
+
+m2, n2, ktrue = 78, 60, 3
+rng2 = np.random.default_rng(7)
+Wp = np.zeros((m2, ktrue))
+for i in range(ktrue):
+    c = (i + 0.5) * m2 / ktrue
+    Wp[:, i] = np.exp(-0.5 * ((np.arange(m2) - c) / (0.06 * m2)) ** 2)
+Hp = rng2.random((ktrue, n2)) + 0.1
+Ap = ((Wp @ Hp) * (rng2.random((m2, n2)) < 0.5)).astype(np.float32)
+if pid == 0:
+    sp2.save_npz(os.path.join(data_dir, "P.npz.tmp.npz"),
+                 sp2.csr_matrix(Ap))
+    os.replace(os.path.join(data_dir, "P.npz.tmp.npz"),
+               os.path.join(data_dir, "P.npz"))
+else:
+    for _ in range(200):
+        if os.path.exists(os.path.join(data_dir, "P.npz")):
+            break
+        time.sleep(0.1)
+
+reader6 = io_mod.DataReader(data_dir, "P", "npz", precision="float32")
+bundle6 = reader6.read(ctx)
+from pydnmfk_tpu.ops.sparse import SparseGridInput  # noqa: E402
+
+assert isinstance(bundle6, SparseGridInput)
+# this process materialized only its own row panels of the CSR members
+assert all(r0 == pid * 39 for r0, _ in reader6.npz_rows_materialized), (
+    pid, reader6.npz_rows_materialized)
+
+cfg_sp = NMFkConfig(
+    nmf=NMFConfig(k=0, grid=(2, 1), norm="fro", method="mu", itr=150,
+                  init="rand", seed=42),
+    start_k=2, end_k=4, perturbations=4, noise_var=0.03, sill_thr=0.6,
+    results_path=os.path.join(data_dir, "nmfk_sp") + "/", fname="P",
+    checkpoint=False)
+nopt_sp = NMFk(cfg_sp, ctx).fit(bundle6)
+assert nopt_sp == ktrue, nopt_sp
+print(f"NMFK_SPARSE_NOPT {pid} {nopt_sp}", flush=True)
+
 print(f"MULTIHOST_OK {pid}", flush=True)
