@@ -178,11 +178,15 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
         # sharded Pallas runs per-block under shard_map (needs `mesh`);
         # the batched-ensemble path stays on the chunked/XLA path
         use_pallas = False
-    # one-pass fused iterations: auto-on only for the measured win — FRO
-    # with bf16-A storage on a single TPU shard (1.7x over two-pass).  The
+    # one-pass fused iterations: auto-on only for the measured wins — FRO
+    # on a single TPU shard with bf16 storage (1.7x over two-pass), uint8
+    # storage (2.3x), or f32 storage under the DEFAULT matmul precision
+    # (1.11x, round 4: the kernel now matches XLA's bf16-operand lowering
+    # for f32 dots — pallas_kernels.matmul_compute_dtype — instead of
+    # paying multi-pass f32 MXU time; a user-requested high precision
+    # keeps the two-pass XLA path, where true-f32 dots are faster).  The
     # fused KL kernel (ops/fused_kl.py) matches but does not beat the
-    # chunked path at k=32 (the KL step is MXU-bound there, not
-    # A-bandwidth-bound — PERFORMANCE.md) and stays opt-in.
+    # chunked path at k=32 and stays opt-in.
     use_fused = cfg.use_fused
     if use_fused is None:
         use_fused = (jax.default_backend() == "tpu" and single_shard
@@ -192,7 +196,11 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                      and W.shape[-1] <= 64   # (k,n) f32 VMEM accumulator
                      and (A.dtype == jnp.bfloat16
                           or (jnp.issubdtype(A.dtype, jnp.integer)
-                              and jnp.dtype(A.dtype).itemsize == 1)))
+                              and jnp.dtype(A.dtype).itemsize == 1)
+                          or (A.dtype == jnp.float32
+                              and A.dtype == W.dtype
+                              and cfg.matmul_precision in
+                              (None, "default", "bfloat16", "fastest"))))
     elif use_fused and (not single_shard or sparse_A):
         use_fused = False
     # KL memory safety: the direct path materializes the m x n ratio U —

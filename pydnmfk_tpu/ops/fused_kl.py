@@ -150,8 +150,8 @@ def fused_mu_kl_step(A, W, H, eps, W_update=True, tm=None):
     if pad:
         A = jnp.pad(A, ((0, pad), (0, 0)))
         W = jnp.pad(W, ((0, pad), (0, 0)))
-    cd = (jnp.bfloat16 if jnp.issubdtype(A.dtype, jnp.integer)
-          else A.dtype)
+    from .pallas_kernels import matmul_compute_dtype
+    cd = matmul_compute_dtype(A.dtype)
     H_k = H.astype(cd) if H.dtype != cd else H
     W_new, WTU = _fused_kl_pass(A, W, H_k, hrs, eps, tm)
     if pad:

@@ -21,13 +21,15 @@ The H update (elementwise with WTA / WTW @ H) runs as plain XLA afterwards
 instead of two; the reference (and the XLA path here) reads twice
 (dist_nmf.py:715-751).
 
-Measured reality (v5e, 57600x38400, k=32): the standard XLA path wins at
-f32 (0.166s vs 0.28s per 10 iters) because f32 MU is MXU-bound there and
-XLA's 3-pass-bf16 matmul strategy outruns an in-kernel f32 dot, while the
-VMEM budget forces narrow row-panels at n=38400.  This op is for regimes
-that are genuinely A-bandwidth-bound (low-precision storage, large k,
-narrow n); it is correct everywhere (W bit-identical to mu_fro_step) but
-not the default.
+Measured reality (v5e, 57600x38400, k=32): with the dot operands in the
+compute dtype that XLA's DEFAULT matmul precision would use
+(pallas_kernels.matmul_compute_dtype — bf16 operands for f32 A on TPU,
+f32 accumulation), the fused pass wins in every storage precision:
+1.7x at bf16-A, 2.3x at uint8, and 1.11x at f32 (0.154 vs 0.171 s /
+10 iters; round-3's in-kernel f32 dots measured 0.28 s — multi-pass MXU
+time the two-pass XLA path never paid).  Under a user-requested high
+matmul precision the standard XLA path stays faster and the
+auto-dispatch keeps it (models/nmf.py).
 
 VMEM budget (defaults, n up to ~40k, k<=64): A panel (tm x n) bf16/f32 +
 H (k x n) + WTA accumulator (k x n, f32) — choose tm so 2x-buffered panels
@@ -163,9 +165,10 @@ def fused_mu_fro_step(A, W, H, eps, tm=None):
         W = jnp.pad(W, ((0, pad), (0, 0)))
     # mixed precision: the in-kernel A H^T rounds H to the compute dtype
     # once (same recipe as linalg.matmul's mixed path); integer-quantized
-    # A computes in bf16 (exact for 8-bit values)
-    cd = (jnp.bfloat16 if jnp.issubdtype(A.dtype, jnp.integer)
-          else A.dtype)
+    # A computes in bf16, and f32 A on TPU matches XLA's default-precision
+    # lowering (bf16 operands) — see pallas_kernels.matmul_compute_dtype
+    from .pallas_kernels import matmul_compute_dtype
+    cd = matmul_compute_dtype(A.dtype)
     H_k = H.astype(cd) if H.dtype != cd else H
     W_new, WTA, WTW = _fused_w_pass(A, W, H_k, HHT, eps, tm)
     if pad:

@@ -34,6 +34,30 @@ def _pad_to(x, mult, axis):
     return jnp.pad(x, widths), pad
 
 
+def matmul_compute_dtype(a_dtype):
+    """In-kernel dot-OPERAND dtype for the fused kernels.
+
+    Integer-quantized A computes in bf16 (exact for 8-bit values); floats
+    keep their dtype EXCEPT f32 on TPU under the default matmul
+    precision: XLA's standard path lowers f32 dots to bf16 operands with
+    f32 accumulation there, so an in-kernel f32 dot pays multi-pass MXU
+    time the two-pass XLA path never pays — exactly why the f32 fused
+    rows used to lose (docs/PERFORMANCE.md).  A user-requested high
+    precision (``jax.default_matmul_precision('highest'/'float32')`` /
+    cfg.matmul_precision) keeps true-f32 operands, matching the standard
+    path under the same setting."""
+    import jax
+    import numpy as np
+    if jnp.issubdtype(jnp.dtype(a_dtype), jnp.integer):
+        return jnp.bfloat16
+    if (jnp.dtype(a_dtype) == jnp.float32
+            and jax.default_backend() == "tpu"
+            and jax.config.jax_default_matmul_precision in (
+                None, "default", "fastest", "bfloat16")):
+        return jnp.bfloat16
+    return jnp.dtype(a_dtype)
+
+
 def fit_tile(dim: int, target: int, mult: int = 8, floor: int = 64) -> int:
     """Largest tile <= target that divides dim (multiple of `mult`), so the
     grid needs no padding — jnp.pad would COPY the operand, which for the

@@ -206,6 +206,29 @@ def test_npz_sparse_grid_streamed_read(tmp_path):
     assert (p[:nnz] == np.arange(nnz)).all() and (p[nnz:] == nnz).all()
 
 
+def test_npz_csc_fallback_bundle(tmp_path):
+    """Non-CSR npz (e.g. CSC) cannot stream row panels; read_sparse_grid
+    falls back to the host-global read + block partition and still
+    returns a working SparseGridInput."""
+    import jax.numpy as jnp
+    from scipy import sparse as sp
+    from pydnmfk_tpu.ops.sparse import SparseGridInput, rs_a_ht
+
+    rng = np.random.default_rng(1)
+    M = sp.random(30, 20, density=0.25, format="csc", random_state=2,
+                  dtype=np.float64)
+    sp.save_npz(tmp_path / "C.npz", M)
+    ctx = grid_context(2, 2)
+    b = DataReader(str(tmp_path), "C", "npz", precision="float32").read(ctx)
+    assert isinstance(b, SparseGridInput)
+    assert b.shape == (30, 20) and b.nse == M.nnz
+    H = jnp.asarray(rng.random((3, b.dims[1]), np.float32))
+    dense = np.zeros(b.dims, np.float32)
+    dense[:30, :20] = M.toarray()
+    np.testing.assert_allclose(np.asarray(rs_a_ht(b.gs, H)),
+                               dense @ np.asarray(H).T, rtol=1e-5)
+
+
 def test_npz_bundle_nmfk_matches_bcoo(tmp_path):
     """NMFk fed a reader SparseGridInput bundle (per-host panel reads, no
     host-global BCOO) selects the same k with identical statistics as the
