@@ -172,9 +172,9 @@ def test_fused_kl_solve_dispatch():
 
 
 def test_fused_auto_dispatch_policy(monkeypatch):
-    """The measured dispatch policy (docs/PERFORMANCE.md): auto-fusion only
-    for FRO + bf16-A on a single TPU shard; KL fused stays opt-in; KL
-    auto-chunks large blocks."""
+    """The measured dispatch policy (docs/PERFORMANCE.md): auto-fusion for
+    FRO on a single TPU shard (bf16/uint8/f32-default-precision A); KL
+    fused stays opt-in; KL auto-chunks large blocks."""
     from pydnmfk_tpu.config import NMFConfig
     from pydnmfk_tpu.models import nmf as nmf_mod
 
@@ -203,7 +203,15 @@ def test_fused_auto_dispatch_policy(monkeypatch):
     assert captured["use_fused"] is True          # FRO + bf16-A: fused
 
     nmf_mod.solve(A32, W, H, eps, NMFConfig(k=3, norm="fro", itr=1))
-    assert captured["use_fused"] is False         # FRO f32: XLA wins
+    # FRO f32 under DEFAULT matmul precision: fused wins since round 4
+    # (kernel dots use the same bf16 operands XLA's lowering would)
+    assert captured["use_fused"] is True
+
+    nmf_mod.solve(A32, W, H, eps,
+                  NMFConfig(k=3, norm="fro", itr=1,
+                            matmul_precision="highest"))
+    # user-requested true-f32 dots: the two-pass XLA path stays faster
+    assert captured["use_fused"] is False
 
     nmf_mod.solve(A32, W, H, eps, NMFConfig(k=3, norm="kl", itr=1))
     assert captured["use_fused"] is False         # KL: fused is opt-in
