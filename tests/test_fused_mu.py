@@ -171,6 +171,23 @@ def test_fused_kl_solve_dispatch():
                                atol=1e-5)
 
 
+def test_matmul_compute_dtype(monkeypatch):
+    """Operand-dtype rule for the fused kernels: integer A -> bf16; f32 A
+    -> bf16 ONLY on TPU under the default matmul precision; a requested
+    high precision (or any non-TPU backend) keeps f32; bf16 stays bf16."""
+    from pydnmfk_tpu.ops.pallas_kernels import matmul_compute_dtype
+
+    assert matmul_compute_dtype(jnp.uint8) == jnp.bfloat16
+    assert matmul_compute_dtype(jnp.bfloat16) == jnp.bfloat16
+    # CPU backend: f32 stays f32 (XLA computes true-f32 dots there)
+    assert matmul_compute_dtype(jnp.float32) == jnp.float32
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert matmul_compute_dtype(jnp.float32) == jnp.bfloat16
+    with jax.default_matmul_precision("highest"):
+        assert matmul_compute_dtype(jnp.float32) == jnp.float32
+    assert matmul_compute_dtype(jnp.float64) == jnp.float64
+
+
 def test_fused_auto_dispatch_policy(monkeypatch):
     """The measured dispatch policy (docs/PERFORMANCE.md): auto-fusion for
     FRO on a single TPU shard (bf16/uint8/f32-default-precision A); KL
