@@ -254,8 +254,19 @@ class DataReader:
         from ..parallel.mesh import COL_AXIS, ROW_AXIS
         from ..parallel.partition import padded_dim
 
+        import contextlib
         path = os.path.join(self.fpath, self.fname + ".npz")
-        zf = zipfile.ZipFile(path)
+        with contextlib.closing(zipfile.ZipFile(path)) as zf:
+            return self._read_sparse_grid_zf(zf, ctx)
+
+    def _read_sparse_grid_zf(self, zf, ctx: GridContext):
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..ops.sparse import (GridShardedSparse, SparseGridInput,
+                                  shard_sparse_grid)
+        from ..parallel.mesh import COL_AXIS, ROW_AXIS
+        from ..parallel.partition import padded_dim
+
         names = set(zf.namelist())
         csr = ("format.npy" in names
                and bytes(self._npz_member_read(zf, "format.npy")) == b"csr")
