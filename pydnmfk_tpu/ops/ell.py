@@ -1,12 +1,15 @@
 """ELL-packed sparse A: the TPU compute format for the VERY sparse regime.
 
-Measured on the v5e (tools/sparse_probe.py): element-level sparse products
-on TPU are gather-bound — XLA's row gather sustains ~0.25 Gnnz/s at k=32
-and the cost scales with the number of gathered SLOTS, not bytes — while
-the dense MXU path streams A at HBM bandwidth.  ELL wins for very sparse
+Measured on the v5e (tools/sparse_probe.py, gather_stack_probe.py):
+element-level sparse products on TPU are gather-bound — XLA's row gather
+is ROW-WIDTH-bound at ~3.4 ns per gathered slot for narrow (k<=32) rows,
+going byte-bound (~114 GB/s) from ~256-byte rows — while the dense MXU
+path streams A at HBM bandwidth.  This is the hardware's narrow-row
+random-access limit, not an XLA artifact (settled round 4 —
+docs/PERFORMANCE.md "sparse roofline").  ELL wins for very sparse
 matrices with large m·n, and in the beyond-HBM regime where dense cannot
 run at all; ``densify_for_backend`` (ops/sparse.py) applies the measured
-cost model automatically.
+cost model (``ell_time_model``) automatically.
 
 Format: CAPPED-WIDTH ELLPACK in BOTH orientations plus COO tails:
 
