@@ -93,6 +93,9 @@ def build_parser():
                         "(bf16-rounded operands, f32 accumulation); "
                         "'highest' = true-f32 multi-pass dots (~2x "
                         "per-iteration cost — docs/PERFORMANCE.md)")
+    p.add_argument("--bcd_obj", type=str, default=None,
+                   help="BCD objective: gram (default, no A-sized pass) "
+                        "or residual (reference's explicit m x n pass)")
     return p
 
 
@@ -120,7 +123,8 @@ def main(argv=None):
         seed=args.seed, tol=args.tol,
         solve_checkpoint_every=args.solve_checkpoint_every,
         ensemble_batch=args.ensemble_batch,
-        matmul_precision=args.matmul_precision)
+        matmul_precision=args.matmul_precision,
+        bcd_obj=args.bcd_obj)
     results = runner.run(
         grid=[args.p_r, args.p_c], fpath=args.fpath, ftype=args.ftype,
         fname=args.fname, results_path=args.results_path,

@@ -91,6 +91,12 @@ class NMFConfig:
     # 11.7 ms/iter at the flagship shape, tools/slope_probe.py) for
     # bitwise-f32 operand reproducibility.
     matmul_precision: Optional[str] = None
+    # BCD objective evaluation: None/"gram" computes the per-iteration
+    # objective (restore-vs-extrapolate decision only) via the Gram
+    # identity from products the step already has — no third A-sized pass
+    # (measured 1.45x at the flagship geometry); "residual" restores the
+    # reference's explicit m x n residual (dist_nmf.py:560).
+    bcd_obj: Optional[str] = None
     # Mid-solve checkpointing for long factorizations: > 0 runs the
     # iteration loop in chunks of this many iterations (rounded to a
     # multiple of 10 to keep the reference's eps-clip cadence) and persists
@@ -167,19 +173,11 @@ class NMFkConfig:
     # depends on them — docs/PARITY.md); None = independent sampling (this
     # framework's default, statistically stronger).  Requires the (possibly
     # pruned) matrix dims to divide the grid, as the reference's
-    # identical-stream property implicitly does.
+    # identical-stream property implicitly does.  Poisson sampling draws
+    # every grid block with the same key (the counter-based analog of the
+    # reference's identical per-rank seeding: equal-data blocks get
+    # bitwise-equal draws, each block marginally Poisson).
     seed_grid: Optional[Tuple[int, int]] = None
-
-    def __post_init__(self):
-        if (self.seed_grid not in (None, (1, 1))
-                and self.sampling != "uniform"):
-            # Poisson consumes the PRNG stream value-dependently per rank
-            # in the reference (pyDNMFk.py:47-50): identical seeds do NOT
-            # produce tiled noise, so there is no grid statistic to
-            # reproduce — reject instead of silently ignoring (VERDICT r2).
-            raise ValueError(
-                "seed_grid reference-MPI compatibility applies only to "
-                f"sampling='uniform' (got sampling={self.sampling!r})")
 
     @property
     def k_range(self):

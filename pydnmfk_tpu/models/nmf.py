@@ -41,7 +41,7 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
            W_update: bool, chunk: int, use_pallas: bool = False,
            use_fused: bool = False, tol: float = 0.0,
            tol_check_every: int = 50, mesh=None, err_chunk: int = 0,
-           finalize: bool = True):
+           finalize: bool = True, bcd_obj: str = "gram"):
     norm = norm.lower()
     method = method.lower()
     if norm == "fro" and method == "mu":
@@ -68,7 +68,7 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
         raise ValueError(f"invalid (norm, method) = ({norm!r}, {method!r})")
 
     if method == "bcd":
-        W, H = updates.bcd_solve(A, W, H, eps, itr=itr)
+        W, H = updates.bcd_solve(A, W, H, eps, itr=itr, obj_mode=bcd_obj)
         # reference pyDNMF.fit clips at i = itr-1 only when (itr-1) % 10 == 0
         if (itr - 1) % 10 == 0:
             W = jnp.maximum(W, eps)
@@ -132,12 +132,12 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
 def _jitted_solver(norm, method, itr, W_update, chunk, batched,
                    use_pallas=False, use_fused=False, tol=0.0,
                    tol_check_every=50, mesh=None, err_chunk=0,
-                   finalize=True):
+                   finalize=True, bcd_obj="gram"):
     fn = partial(_solve, norm=norm, method=method, itr=itr,
                  W_update=W_update, chunk=chunk, use_pallas=use_pallas,
                  use_fused=use_fused, tol=tol,
                  tol_check_every=tol_check_every, mesh=mesh,
-                 err_chunk=err_chunk, finalize=finalize)
+                 err_chunk=err_chunk, finalize=finalize, bcd_obj=bcd_obj)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, 0, 0, None))
     return jax.jit(fn)
@@ -223,7 +223,7 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                         chunk, batched, bool(use_pallas),
                         bool(use_fused), float(cfg.tol),
                         int(cfg.tol_check_every), mesh, err_chunk,
-                        bool(finalize))
+                        bool(finalize), cfg.bcd_obj or "gram")
     if cfg.matmul_precision:
         # dot-operand precision (config.py): the context participates in
         # the jit cache key, so default/highest variants coexist

@@ -80,12 +80,27 @@ def sample_member(A, key, noise_var, method: str = "uniform",
         return A * m
     if method == "poisson":
         if tile_grid not in (None, (1, 1)):
-            # Poisson consumes the stream value-dependently per rank in the
-            # reference (blocks differ even with identical seeds), so there
-            # is no tiled statistic to emulate — reject rather than
-            # silently drop the request (NMFkConfig rejects it up front)
-            raise ValueError("seed-grid MPI compat applies only to "
-                             "uniform sampling")
+            # Reference MPI seeding: every rank seeds numpy identically
+            # (pyDNMFk.py:32 with seed=pert*1000) and draws
+            # Poisson(local block) (pyDNMFk.py:47-50).  The load-bearing
+            # property is that every block's draw starts from the SAME
+            # stream state — so blocks with identical data get identical
+            # noise (for uniform this degenerates to the tiled field
+            # above).  Reproduced here by drawing every grid block with
+            # the same key: JAX's counter-based Poisson gives equal-data
+            # blocks bitwise-equal draws, each block marginally
+            # Poisson(block values).
+            p_r, p_c = tile_grid
+            if A.shape[0] % p_r or A.shape[1] % p_c:
+                raise ValueError(
+                    f"seed-grid compat needs dims {A.shape} divisible by "
+                    f"{tile_grid}")
+            br, bc = A.shape[0] // p_r, A.shape[1] // p_c
+            blocks = A.reshape(p_r, br, p_c, bc).transpose(0, 2, 1, 3)
+            drawn = jax.vmap(lambda b: jax.random.poisson(
+                key, b.astype(jnp.float32)))(blocks.reshape(-1, br, bc))
+            return (drawn.reshape(p_r, p_c, br, bc).transpose(0, 2, 1, 3)
+                    .reshape(A.shape).astype(A.dtype))
         return jax.random.poisson(key, A.astype(jnp.float32)).astype(A.dtype)
     raise ValueError(f"unknown sampling method {method!r}")
 

@@ -153,8 +153,26 @@ class _BCDState(NamedTuple):
     WTWnorm: jax.Array
 
 
-def bcd_solve(A, W, H, eps, itr=1000, rw=1.0):
-    """Run the full BCD inner loop; returns (W, H)."""
+def bcd_solve(A, W, H, eps, itr=1000, rw=1.0, obj_mode="gram"):
+    """Run the full BCD inner loop; returns (W, H).
+
+    ``obj_mode`` selects how the per-iteration objective 0.5||A - WH||^2
+    (which only feeds the restore-vs-extrapolate decision, reference
+    dist_nmf.py:1029-1036) is computed:
+
+    * ``"gram"`` (default): the Gram identity
+      0.5(||A||^2 - 2<W, A H^T> + <W^T W, H H^T>) from the (m,k)/(k,k)
+      products the step already computed — ||A||^2 is loop-invariant, so
+      the objective costs O(mk + k^2) instead of a THIRD A-sized pass per
+      iteration.  Cancellation bounds its resolution at ~eps * ||A||^2,
+      a RELATIVE-ERROR floor of ~sqrt(2 eps): ~7e-4 at f32, ~2e-8 at f64
+      — far below typical NMF reconstruction errors (O(1e-2..1)); once
+      the iterate converges past the floor, restore fires spuriously and
+      progress stalls there (tests/test_nmf_solvers.py pins this).
+    * ``"residual"``: the reference's explicit m x n residual
+      (dist_nmf.py:560) — converges past the floor; the
+      bitwise-reference fallback.
+    """
     f32 = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
 
     # init (reference initWandH :951-969): scale W,H so |W| = |H| = |A|^(1/2)
@@ -188,7 +206,15 @@ def bcd_solve(A, W, H, eps, itr=1000, rw=1.0):
         HHT = linalg.gram_t(H)
         AHT = linalg.matmul_AHT(A, H)
 
-        obj = 0.5 * linalg.sqnorm(A - linalg.matmul(W, H))
+        if obj_mode == "gram":
+            # <W, A H^T> reuses AHT (updated H); <W^T W, H H^T> reuses the
+            # WTW/HHT grams — no A-sized traffic
+            acc = linalg._acc_dtype(A)
+            cross = jnp.sum(W.astype(acc) * AHT.astype(acc))
+            wh2 = jnp.sum(WTW.astype(acc) * HHT.astype(acc))
+            obj = 0.5 * (Xnorm - 2.0 * cross + wh2)
+        else:
+            obj = 0.5 * linalg.sqnorm(A - linalg.matmul(W, H))
 
         # --- correction / extrapolation (reference :1029-1047) ---
         t = (1.0 + jnp.sqrt(1.0 + 4.0 * s.t_old ** 2)) / 2.0

@@ -59,6 +59,43 @@ def test_seed_grid_tiled_noise():
     assert X.min() >= 1.1 and X.max() < 1.3
 
 
+def test_seed_grid_poisson_blocks():
+    """Poisson seed-grid compat (VERDICT r4 item 5): the reference seeds
+    every rank identically and draws Poisson(local block)
+    (pyDNMFk.py:32,47-50), so blocks with identical data get identical
+    draws while each block stays marginally Poisson(block).  Reproduced by
+    drawing every grid block with the same key."""
+    import jax.numpy as jnp
+    from pydnmfk_tpu.models.sampler import sample_member
+    # identical-data blocks -> identical noise (the reference's
+    # identical-seed property)
+    A = jnp.tile(jnp.asarray(
+        np.random.default_rng(3).random((20, 15)) * 9, jnp.float32), (2, 2))
+    key = jax.random.key(11)
+    X = np.asarray(sample_member(A, key, 0.0, "poisson", tile_grid=(2, 2)))
+    np.testing.assert_array_equal(X[:20, :15], X[20:, :15])
+    np.testing.assert_array_equal(X[:20, :15], X[:20, 15:])
+    np.testing.assert_array_equal(X[:20, :15], X[20:, 15:])
+    assert np.all(X == np.round(X))
+    # independent draw is NOT block-tiled
+    Y = np.asarray(sample_member(A, key, 0.0, "poisson"))
+    assert not np.array_equal(Y[:20, :15], Y[20:, :15])
+    # blocks with DIFFERENT data differ (it is not a copy of one block)
+    B = jnp.asarray(np.random.default_rng(4).random((40, 30)) * 9 + 1,
+                    jnp.float32)
+    Z = np.asarray(sample_member(B, key, 0.0, "poisson", tile_grid=(2, 2)))
+    assert not np.array_equal(Z[:20, :15], Z[20:, :15])
+    # marginal statistics: mean of each block tracks its lambda field
+    assert abs(Z.mean() - float(B.mean())) < 0.15
+
+
+def test_seed_grid_poisson_config_accepted():
+    """NMFkConfig no longer rejects poisson + seed_grid (VERDICT r4 #5)."""
+    from pydnmfk_tpu.config import NMFkConfig
+    cfg = NMFkConfig(sampling="poisson", seed_grid=(2, 2))
+    assert cfg.seed_grid == (2, 2)
+
+
 def test_seed_grid_tiled_init():
     """With seed_grid, rand-init W0/H0 are p-fold tiled (reference
     pyDNMF.py:112-113 under identical per-rank streams)."""
