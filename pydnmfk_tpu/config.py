@@ -172,6 +172,14 @@ class NMFkConfig:
     # correlated-ensemble statistics (the executed swim golden nopt=16
     # depends on them — docs/PARITY.md); None = independent sampling (this
     # framework's default, statistically stronger).  Requires the (possibly
+    # Batched k-sweep (None = auto-on for dense A): run every k of the
+    # sweep through ONE compiled ensemble program by padding factors to
+    # K = max(k_range) columns with a per-member active-column mask
+    # (models/nmfk.py::_ensemble_program_polyk).  Kills the per-k
+    # re-trace that made compile time the dominant sweep cost on TPU;
+    # the masked trajectory equals the unpadded per-k solve
+    # (tests/test_k_sweep.py).  False restores the per-k programs.
+    k_sweep_batch: Optional[bool] = None
     # pruned) matrix dims to divide the grid, as the reference's
     # identical-stream property implicitly does.  Poisson sampling draws
     # every grid block with the same key (the counter-based analog of the

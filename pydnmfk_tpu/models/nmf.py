@@ -37,13 +37,27 @@ from . import updates
 # ---------------------------------------------------------------------------
 # jitted solver (cached per static signature)
 # ---------------------------------------------------------------------------
-def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
+def _solve(A, W, H, eps, col_mask=None, *, norm: str, method: str, itr: int,
            W_update: bool, chunk: int, use_pallas: bool = False,
            use_fused: bool = False, tol: float = 0.0,
            tol_check_every: int = 50, mesh=None, err_chunk: int = 0,
            finalize: bool = True, bcd_obj: str = "gram"):
+    """``col_mask`` (bool (K,)) marks the ACTIVE factor columns of a
+    K-padded solve: W columns / H rows outside the mask are held at exact
+    zero (re-zeroed after every step's eps clip), which makes the active
+    columns' trajectory equal to an unpadded k-column solve — zero columns
+    contribute exact-zero terms to every Gram/product the active updates
+    consume.  This is what lets the NMFk k-sweep run every k through ONE
+    compiled program (models/nmfk.py::_ensemble_program_polyk) instead of
+    re-tracing per k (the reference's serial k loop, pyDNMFk.py:198-200)."""
     norm = norm.lower()
     method = method.lower()
+
+    def mask_wh(W, H):
+        if col_mask is None:
+            return W, H
+        return (W * col_mask[None, :].astype(W.dtype),
+                H * col_mask[:, None].astype(H.dtype))
     if norm == "fro" and method == "mu":
         if use_fused and W_update:
             from ..ops.fused_mu import fused_mu_fro_step
@@ -68,11 +82,13 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
         raise ValueError(f"invalid (norm, method) = ({norm!r}, {method!r})")
 
     if method == "bcd":
-        W, H = updates.bcd_solve(A, W, H, eps, itr=itr, obj_mode=bcd_obj)
+        W, H = updates.bcd_solve(A, W, H, eps, itr=itr, obj_mode=bcd_obj,
+                                 col_mask=col_mask)
         # reference pyDNMF.fit clips at i = itr-1 only when (itr-1) % 10 == 0
         if (itr - 1) % 10 == 0:
             W = jnp.maximum(W, eps)
             H = jnp.maximum(H, eps)
+        W, H = mask_wh(W, H)
     else:
         def body(i, WH):
             W, H = WH
@@ -80,7 +96,7 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
             clip = (i % 10) == 0
             W = jnp.where(clip, jnp.maximum(W, eps), W)
             H = jnp.where(clip, jnp.maximum(H, eps), H)
-            return (W, H)
+            return mask_wh(W, H)
 
         if tol <= 0.0:
             W, H = lax.fori_loop(0, itr, body, (W, H))
@@ -132,14 +148,17 @@ def _solve(A, W, H, eps, *, norm: str, method: str, itr: int,
 def _jitted_solver(norm, method, itr, W_update, chunk, batched,
                    use_pallas=False, use_fused=False, tol=0.0,
                    tol_check_every=50, mesh=None, err_chunk=0,
-                   finalize=True, bcd_obj="gram"):
+                   finalize=True, bcd_obj="gram", masked=False):
+    """``masked=True`` adds a per-member active-column mask argument
+    (b, K) — the K-padded k-sweep path (see _solve's col_mask)."""
     fn = partial(_solve, norm=norm, method=method, itr=itr,
                  W_update=W_update, chunk=chunk, use_pallas=use_pallas,
                  use_fused=use_fused, tol=tol,
                  tol_check_every=tol_check_every, mesh=mesh,
                  err_chunk=err_chunk, finalize=finalize, bcd_obj=bcd_obj)
     if batched:
-        fn = jax.vmap(fn, in_axes=(0, 0, 0, None))
+        fn = jax.vmap(fn, in_axes=(0, 0, 0, None, 0) if masked
+                      else (0, 0, 0, None))
     return jax.jit(fn)
 
 

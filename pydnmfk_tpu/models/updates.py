@@ -153,7 +153,8 @@ class _BCDState(NamedTuple):
     WTWnorm: jax.Array
 
 
-def bcd_solve(A, W, H, eps, itr=1000, rw=1.0, obj_mode="gram"):
+def bcd_solve(A, W, H, eps, itr=1000, rw=1.0, obj_mode="gram",
+              col_mask=None):
     """Run the full BCD inner loop; returns (W, H).
 
     ``obj_mode`` selects how the per-iteration objective 0.5||A - WH||^2
@@ -194,8 +195,14 @@ def bcd_solve(A, W, H, eps, itr=1000, rw=1.0, obj_mode="gram"):
         HHTnorm = jnp.sqrt(linalg.sqnorm(s.HHT))
         GW = linalg.matmul(s.Wm, s.HHT) - s.AHT
         W = jnp.maximum(0.0, s.Wm - GW / HHTnorm.astype(GW.dtype))
-        # L1 column normalization (reference :1004-1011, no eps guard)
-        W = W / linalg.sum_axis(W, axis=0)[None, :]
+        # L1 column normalization (reference :1004-1011, no eps guard).
+        # A col_mask (K-padded k-sweep solve, models/nmf._solve) guards
+        # the masked-out all-zero columns' 0/0 — active columns keep the
+        # reference's unguarded division.
+        colsum = linalg.sum_axis(W, axis=0)
+        if col_mask is not None:
+            colsum = jnp.where(col_mask, colsum, jnp.ones((), colsum.dtype))
+        W = W / colsum[None, :]
         WTW = linalg.gram(W)
 
         # --- H update ---

@@ -42,18 +42,22 @@ def test_poisson_sampling_k_selection(tmp_path):
     assert NMFk(cfg).fit(X) == 3
 
 
-def test_seed_grid_poisson_rejected(tmp_path):
-    """seed_grid MPI-compat is a uniform-sampling statistic; combining it
-    with poisson must fail loudly, not silently ignore the grid."""
-    from pydnmfk_tpu.models import sampler
-    import jax
-
-    with pytest.raises(ValueError, match="uniform"):
-        NMFkConfig(sampling="poisson", seed_grid=(2, 2))
-    with pytest.raises(ValueError, match="uniform"):
-        sampler.sample_member(np.ones((4, 4), np.float32),
-                              jax.random.key(0), 0.01, "poisson",
-                              tile_grid=(2, 2))
+def test_seed_grid_poisson_pipeline(tmp_path):
+    """seed_grid + poisson runs end-to-end (VERDICT r4 item 5): every grid
+    block draws from the same key — the counter-based analog of the
+    reference's identical per-rank seeding (pyDNMFk.py:32,47-50) — and the
+    pipeline still recovers the planted k."""
+    from pydnmfk_tpu.utils.data_generator import generate_data
+    _, _, X = generate_data(m=64, n=48, k=3, seed=100)
+    X = np.asarray(X, np.float64) * 200.0
+    cfg = NMFkConfig(
+        nmf=NMFConfig(itr=600, norm="fro", method="mu", init="rand",
+                      precision="float64"),
+        start_k=2, end_k=4, perturbations=8, sampling="poisson",
+        seed_grid=(2, 2), sill_thr=0.6,
+        results_path=str(tmp_path) + "/", fname="poi_sg",
+        checkpoint=False)
+    assert NMFk(cfg).fit(X) == 3
 
 
 def test_sparse_nmfk_rejects_bcd(tmp_path):
@@ -131,14 +135,36 @@ def test_checkpoint_resume(tmp_path):
     assert nopt2 == nopt
 
 
-def test_mid_k_resume_uses_ensemble_cache(tmp_path):
-    """After an interruption past the ensemble stage, the cached ensemble
-    is reused — perturbations are never recomputed (strictly better than
-    the reference, which restarts the whole k) — and a completed run
-    leaves no resume cache behind."""
-    import dataclasses
-    from pydnmfk_tpu.utils.data_generator import generate_data
+def _crash_in_clustering(model, X):
     from pydnmfk_tpu.models import nmfk as nmfk_mod
+    orig_cluster = nmfk_mod.cluster_ensemble
+    nmfk_mod.cluster_ensemble = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("simulated crash during clustering"))
+    try:
+        with pytest.raises(RuntimeError):
+            model.fit(X)
+    finally:
+        nmfk_mod.cluster_ensemble = orig_cluster
+
+
+def _ban_ensemble_programs(monkeypatch):
+    """Resume must replay ensemble_parts/, never re-enter a program."""
+    from pydnmfk_tpu.models import nmfk as nmfk_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("ensemble recomputed despite resume parts")
+    monkeypatch.setattr(nmfk_mod, "_ensemble_program", boom)
+    monkeypatch.setattr(nmfk_mod, "_ensemble_program_polyk", boom)
+
+
+def test_mid_k_resume_replays_ensemble_parts(tmp_path, monkeypatch):
+    """After an interruption past the ensemble stage, the per-batch
+    ensemble_parts/ are replayed directly — perturbations are never
+    recomputed (strictly better than the reference, which restarts the
+    whole k) and no whole-ensemble cache file is ever written
+    (VERDICT r4 item 8: ensemble.npz is gone); a completed run leaves no
+    parts behind."""
+    from pydnmfk_tpu.utils.data_generator import generate_data
     _, _, X = generate_data(m=32, n=20, k=2, seed=7)
     rp = str(tmp_path) + "/"
     cfg = NMFkConfig(
@@ -146,38 +172,26 @@ def test_mid_k_resume_uses_ensemble_cache(tmp_path):
         start_k=3, end_k=3, perturbations=3,
         results_path=rp, fname="mid", checkpoint=True)
 
-    # crash for real: the ensemble completes (and is cached), clustering dies
-    model = NMFk(cfg)
-    orig_cluster = nmfk_mod.cluster_ensemble
-    nmfk_mod.cluster_ensemble = lambda *a, **kw: (_ for _ in ()).throw(
-        RuntimeError("simulated crash during clustering"))
-    try:
-        with pytest.raises(RuntimeError):
-            model.fit(X)
-    finally:
-        nmfk_mod.cluster_ensemble = orig_cluster
-    ens_cache = os.path.join(rp, "mid", "3", "ensemble.npz")
-    assert os.path.exists(ens_cache)
+    # crash for real: the ensemble completes (parts on disk), clustering dies
+    _crash_in_clustering(NMFk(cfg), X)
+    parts_dir = os.path.join(rp, "mid", "3", "ensemble_parts")
+    assert os.listdir(parts_dir), "no resume parts written"
+    assert not os.path.exists(os.path.join(rp, "mid", "3", "ensemble.npz"))
 
-    # resume: the cached ensemble is replayed, never recomputed
-    model2 = NMFk(cfg)
-
-    def boom(A, k):
-        raise AssertionError("ensemble recomputed despite cache")
-    model2._solve_ensemble = boom
-    nopt = model2.fit(X)
+    # resume: the parts are replayed, no ensemble program ever runs
+    _ban_ensemble_programs(monkeypatch)
+    nopt = NMFk(cfg).fit(X)
     assert nopt == 3
-    # the resume cache is garbage-collected once the k's results are saved
-    assert not os.path.exists(ens_cache)
+    # the parts are garbage-collected once the k's results are saved
+    assert not os.path.exists(parts_dir)
 
 
-def test_ensemble_cache_invalidated_on_config_change(tmp_path):
+def test_ensemble_parts_invalidated_on_config_change(tmp_path):
     """A config change (noise_var) between a post-ensemble crash and the
     resume recomputes the ensemble instead of silently replaying stale
     members (VERDICT r3 weak #3)."""
     import dataclasses
     from pydnmfk_tpu.utils.data_generator import generate_data
-    from pydnmfk_tpu.models import nmfk as nmfk_mod
     _, _, X = generate_data(m=32, n=20, k=2, seed=7)
     rp = str(tmp_path) + "/"
     cfg = NMFkConfig(
@@ -185,26 +199,21 @@ def test_ensemble_cache_invalidated_on_config_change(tmp_path):
         start_k=3, end_k=3, perturbations=3, noise_var=0.03,
         results_path=rp, fname="inv", checkpoint=True)
 
-    model = NMFk(cfg)
-    orig_cluster = nmfk_mod.cluster_ensemble
-    nmfk_mod.cluster_ensemble = lambda *a, **kw: (_ for _ in ()).throw(
-        RuntimeError("simulated crash during clustering"))
-    try:
-        with pytest.raises(RuntimeError):
-            model.fit(X)
-    finally:
-        nmfk_mod.cluster_ensemble = orig_cluster
-    assert os.path.exists(os.path.join(rp, "inv", "3", "ensemble.npz"))
+    _crash_in_clustering(NMFk(cfg), X)
+    assert os.listdir(os.path.join(rp, "inv", "3", "ensemble_parts"))
 
-    # resume under a DIFFERENT noise_var: the stale cache must not be used
+    # resume under a DIFFERENT noise_var: the stale parts must not be used
+    from pydnmfk_tpu.models import nmfk as nmfk_mod
     cfg2 = dataclasses.replace(cfg, noise_var=0.10)
-    model2 = NMFk(cfg2)
     calls = []
-    orig_solve = model2._solve_ensemble
+    orig_prog = nmfk_mod._ensemble_program_polyk
 
-    def spying_solve(A, k):
-        calls.append(k)
-        return orig_solve(A, k)
-    model2._solve_ensemble = spying_solve
-    model2.fit(X)
-    assert calls == [3], "stale ensemble.npz replayed after config change"
+    def spying_prog(*a, **kw):
+        calls.append(1)                # reached only when recomputing
+        return orig_prog(*a, **kw)
+    nmfk_mod._ensemble_program_polyk = spying_prog
+    try:
+        NMFk(cfg2).fit(X)
+    finally:
+        nmfk_mod._ensemble_program_polyk = orig_prog
+    assert calls, "stale ensemble parts replayed after config change"
