@@ -104,10 +104,17 @@ def main():
         dt = time_solve(A, W0, H0, cfg)
         rows.append(make_row(f"fro_hals_{m}x{n}_k{k}_f32", dt, m, n, k,
                              ITERS, PEAK_F32))
+        # BCD: the gram-identity objective (default since r5) removes the
+        # third A-sized pass per iteration; the reference-style residual
+        # objective is timed alongside for the delta
         cfg = base.replace(method="bcd")
         dt = time_solve(A, W0, H0, cfg)
+        dt_res = time_solve(A, W0, H0, cfg.replace(bcd_obj="residual"))
         rows.append(make_row(f"fro_bcd_{m}x{n}_k{k}_f32", dt, m, n, k,
-                             ITERS, PEAK_F32, flop_factor=6.0))
+                             ITERS, PEAK_F32, flop_factor=6.0,
+                             extra={"residual_obj_s": round(dt_res, 4),
+                                    "speedup_gram_obj":
+                                        round(dt_res / dt, 2)}))
 
         Ab = A.astype(jnp.bfloat16)
 
@@ -299,6 +306,64 @@ def main():
                 "metric": f"sparse_ell_beyond_hbm_{mb}x{nb}_nnz2e6_k{K}",
                 "value": round(dt_e, 4), "unit": "s",
                 "note": "dense f32 would need 40 GB; ELL runs in O(nnz)"})
+            del E, Asp, Ws, Hs
+
+            # ---- grid-sharded sparse formats (VERDICT r4 item 3): the
+            # per-block capped-ELL gather path vs the segment_sum triplet,
+            # both through the SAME shard_map grid machinery the mesh path
+            # uses (single chip = (1,1) grid; correctness across real
+            # (2,2)/(2,1,'e') CPU meshes is pinned by tests) ----
+            from pydnmfk_tpu.ops.ell import grid_ell_pack
+            from pydnmfk_tpu.ops.sparse import shard_sparse_grid
+            from pydnmfk_tpu.parallel.mesh import grid_context
+            ctx1 = grid_context(1, 1)
+            Asp = sparse_coo(ms, ns, nnz, seed=3)
+            Eg = grid_ell_pack(Asp, ctx1)
+            Gt, _ = shard_sparse_grid(Asp, ctx1)
+            kWs, kHs = jax.random.split(jax.random.fold_in(key, 9))
+            Ws = jax.random.uniform(kWs, (ms, K), jnp.float32)
+            Hs = jax.random.uniform(kHs, (K, ns), jnp.float32)
+            dt_ge = time_solve(Eg, Ws, Hs, cfg)
+            dt_tri = time_solve(Gt, Ws, Hs, cfg)
+            rows.append({
+                "metric": f"sparse_grid_ell_vs_triplet_{ms}x{ns}_k{K}",
+                "value": round(dt_ge, 4), "unit": "s",
+                "triplet_s": round(dt_tri, 4),
+                "speedup_vs_triplet": round(dt_tri / dt_ge, 2)})
+            del Eg, Gt, Asp, Ws, Hs
+
+        # ---- end-to-end k-sweep (VERDICT r4 item 1): the reference's
+        # wtsi example — 8 k values x 20 perturbations x 1000 FRO-MU
+        # iterations, nnsvd init — through the batched-K sweep (ONE
+        # solver compile for all 8 ks).  Round 4 re-traced per k and lost
+        # to 2 CPU cores end-to-end on this workload ----
+        import os as _os
+        _wtsi = "/root/reference/data/wtsi.mat"
+        if _os.path.exists(_wtsi):
+            import shutil as _sh
+            import tempfile as _tmp
+            from scipy.io import loadmat
+            from pydnmfk_tpu.config import NMFkConfig as _NKC
+            from pydnmfk_tpu.config import NMFConfig as _NC2
+            from pydnmfk_tpu.models.nmfk import NMFk as _NMFk
+            Xw = loadmat(_wtsi)["X"].astype("float32")
+            _rdir = _tmp.mkdtemp(prefix="bench_wtsi_")
+            kcfg = _NKC(
+                nmf=_NC2(k=0, itr=1000, norm="fro", method="mu",
+                         init="nnsvd", precision="float32"),
+                start_k=1, end_k=8, perturbations=20, noise_var=0.015,
+                sill_thr=0.6, results_path=_rdir + "/", fname="wtsi",
+                checkpoint=False)
+            t0 = time.perf_counter()
+            nopt = _NMFk(kcfg).fit(Xw)
+            dt_sweep = time.perf_counter() - t0
+            _sh.rmtree(_rdir, ignore_errors=True)
+            rows.append({
+                "metric": "wtsi_sweep_8k_20pert_1000iter_e2e",
+                "value": round(dt_sweep, 2), "unit": "s",
+                "nopt": int(nopt),
+                "note": "batched-K sweep: one solver compile for all ks; "
+                        "reference 4-rank MPI: 183 s"})
 
     headline["rows"] = rows
     print(json.dumps(headline))

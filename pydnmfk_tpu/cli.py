@@ -96,6 +96,10 @@ def build_parser():
     p.add_argument("--bcd_obj", type=str, default=None,
                    help="BCD objective: gram (default, no A-sized pass) "
                         "or residual (reference's explicit m x n pass)")
+    p.add_argument("--sparse_grid_format", type=str, default=None,
+                   help="sparse execution format on a multi-device grid: "
+                        "auto (default: per-block ELL on TPU when "
+                        "packable), ell, or triplet")
     return p
 
 
@@ -124,7 +128,9 @@ def main(argv=None):
         solve_checkpoint_every=args.solve_checkpoint_every,
         ensemble_batch=args.ensemble_batch,
         matmul_precision=args.matmul_precision,
-        bcd_obj=args.bcd_obj)
+        bcd_obj=args.bcd_obj,
+        sparse_grid_format=(None if args.sparse_grid_format in
+                            (None, "auto") else args.sparse_grid_format))
     results = runner.run(
         grid=[args.p_r, args.p_c], fpath=args.fpath, ftype=args.ftype,
         fname=args.fname, results_path=args.results_path,

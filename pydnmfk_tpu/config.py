@@ -91,6 +91,11 @@ class NMFConfig:
     # 11.7 ms/iter at the flagship shape, tools/slope_probe.py) for
     # bitwise-f32 operand reproducibility.
     matmul_precision: Optional[str] = None
+    # Sparse execution format on a multi-device ('r','c') grid:
+    # None = auto (TPU: per-block capped-ELL gather path when the matrix
+    # packs — measured 3-4x the segment_sum triplet rate per nnz; CPU:
+    # triplet, where segment_sum is efficient); "ell" / "triplet" force.
+    sparse_grid_format: Optional[str] = None
     # BCD objective evaluation: None/"gram" computes the per-iteration
     # objective (restore-vs-extrapolate decision only) via the Gram
     # identity from products the step already has — no third A-sized pass

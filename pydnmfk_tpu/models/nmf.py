@@ -415,10 +415,17 @@ class NMF:
 
         a_scale = None
         if sparse_A:
-            from ..ops.sparse import SparseGridInput
+            from ..ops.sparse import SparseGridInput, shard_sparse_for_grid
             m_sol, n_sol = A.shape
             if isinstance(A, SparseGridInput):
-                # reader-produced pre-sharded blocks (utils/io.py)
+                # reader-produced pre-sharded blocks (utils/io.py);
+                # triplet-format by construction
+                if (cfg.sparse_grid_format or "").lower() == "ell":
+                    import warnings
+                    warnings.warn(
+                        "sparse_grid_format='ell' is not available for "
+                        "reader-streamed npz input (pre-sharded triplet "
+                        "blocks); running the triplet grid path")
                 if A.gs.mesh != self.ctx.mesh:
                     raise ValueError(
                         "SparseGridInput was read for a different mesh "
@@ -431,12 +438,15 @@ class NMF:
                 W = jax.device_put(W, self.ctx.sharding_W)
                 H = jax.device_put(H, self.ctx.sharding_H)
             elif self.ctx.shape != (1, 1):
-                # grid-sharded triplet (ops/sparse.py): W row-sharded,
-                # H col-sharded — the reference's 1D/2D topologies.
-                # (p_e-only contexts keep the triplet unsharded: the
-                # ensemble axis plays no role in a single solve)
-                from ..ops.sparse import shard_sparse_grid
-                A, (m_pad, n_pad) = shard_sparse_grid(A, self.ctx)
+                # grid-sharded sparse: W row-sharded, H col-sharded — the
+                # reference's 1D/2D topologies.  Format per config
+                # sparse_grid_format: per-block capped-ELL (ops/ell.py
+                # GridEllSparse, the TPU gather path — VERDICT r4 item 3)
+                # or the segment_sum triplet (ops/sparse.py).  (p_e-only
+                # contexts keep the triplet unsharded: the ensemble axis
+                # plays no role in a single solve)
+                A, (m_pad, n_pad) = shard_sparse_for_grid(
+                    A, self.ctx, cfg.sparse_grid_format)
                 if m_pad != m_sol:
                     W = jnp.pad(W, ((0, m_pad - m_sol), (0, 0)))
                 if n_pad != n_sol:

@@ -322,6 +322,80 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
 
 
 @functools.lru_cache(maxsize=32)
+def _ensemble_program_sparse_grid_ell(ncfg: NMFConfig, b_pad: int,
+                                      sampling: str, noise_var: float,
+                                      ctx: GridContext, m: int, n: int):
+    """Per-batch ensemble program for GRID-sharded capped-ELL A
+    (VERDICT r4 item 3): members perturb the flat COO data vector and
+    gather it into the four per-block value containers through the
+    slot->nnz perms (identical noise streams to every other sparse
+    path), then vmap through _solve — with p_e > 1 the member axis is
+    sharded over 'e' via ``vmap(spmd_axis_name)``, composing with the
+    per-block shard_map gather products (ops/ell.py::gell_*) for full
+    three-way ('e','r','c') parallelism on the very-sparse TPU path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..ops.ell import GridEllSparse, ell_pallas_disabled
+    from ..parallel.mesh import COL_AXIS, ENSEMBLE_AXIS, ROW_AXIS
+    k = ncfg.k
+    e_ax = ENSEMBLE_AXIS if ctx.p_e > 1 else None
+
+    def program(data_flat, E_tpl, rperm, cperm, rtperm, ctperm, key,
+                offset):
+        nnz = data_flat.shape[0]
+        keys = sampler.member_keys(key, offset, b_pad)
+        d_ens = jax.vmap(lambda kk: sampler.sample_member(
+            data_flat, sampler.member_noise_key(kk), noise_var,
+            sampling))(keys)                          # (b, nnz)
+        if d_ens.dtype != jnp.dtype(ncfg.a_dtype):
+            d_ens = d_ens.astype(ncfg.a_dtype)
+
+        def orient(flat, perm):
+            return jnp.where(perm < nnz,
+                             flat[jnp.minimum(perm, nnz - 1)],
+                             jnp.zeros((), flat.dtype))
+
+        sh = lambda spec: NamedSharding(ctx.mesh, spec)
+        blk4 = sh(P(e_ax, ROW_AXIS, COL_AXIS, None, None))
+        blk3 = sh(P(e_ax, ROW_AXIS, COL_AXIS, None))
+        cstr = jax.lax.with_sharding_constraint
+        rv_b = cstr(jax.vmap(lambda f: orient(f, rperm))(d_ens), blk4)
+        cv_b = cstr(jax.vmap(lambda f: orient(f, cperm))(d_ens), blk4)
+        rt_b = cstr(jax.vmap(lambda f: orient(f, rtperm))(d_ens), blk3)
+        ct_b = cstr(jax.vmap(lambda f: orient(f, ctperm))(d_ens), blk3)
+        W0 = jax.vmap(lambda kk: jax.random.uniform(
+            jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
+            jnp.float32))(keys).astype(ncfg.dtype)
+        H0 = jax.vmap(lambda kk: jax.random.uniform(
+            jax.random.fold_in(kk, sampler.H0_STREAM), (k, n),
+            jnp.float32))(keys).astype(ncfg.dtype)
+        m_pad, n_pad = E_tpl.shape
+        if m_pad != m:
+            W0 = jnp.pad(W0, ((0, 0), (0, m_pad - m), (0, 0)))
+        if n_pad != n:
+            H0 = jnp.pad(H0, ((0, 0), (0, 0), (0, n_pad - n)))
+        W0 = cstr(W0, sh(P(e_ax, ROW_AXIS, None)))
+        H0 = cstr(H0, sh(P(e_ax, None, COL_AXIS)))
+        eps = jnp.asarray(ncfg.eps, ncfg.dtype)
+
+        def member(rv, rt, cv, ct, w0, h0):
+            Am = GridEllSparse(rv, E_tpl.rcols, rt, E_tpl.rtail_r,
+                               E_tpl.rtail_c, cv, E_tpl.crows, ct,
+                               E_tpl.ctail_r, E_tpl.ctail_c,
+                               E_tpl.shape, E_tpl.block, nnz, E_tpl.mesh)
+            return nmf_mod._solve(
+                Am, w0, h0, eps, norm=ncfg.norm.lower(),
+                method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
+                chunk=0, tol=float(ncfg.tol),
+                tol_check_every=int(ncfg.tol_check_every))
+
+        with ell_pallas_disabled():      # vmapped pallas_call: XLA path
+            return jax.vmap(member, spmd_axis_name=e_ax)(
+                rv_b, rt_b, cv_b, ct_b, W0, H0)
+
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=32)
 def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
                                   sampling: str, noise_var: float,
                                   ctx: GridContext, m: int, n: int,
@@ -645,16 +719,45 @@ class NMFk:
             self._work_shape = (tuple(orig_shape) if orig_shape
                                 else A.shape)
         self._grid_sparse = None
+        self._grid_ell = None
         if bundle:
             # reader-produced pre-sharded blocks: use them directly (no
-            # host-global triplet was ever built)
+            # host-global triplet was ever built).  They are triplet-
+            # format by construction; an explicit 'ell' request cannot be
+            # honored without re-materializing the global triplet.
+            if (cfg.nmf.sparse_grid_format or "").lower() == "ell":
+                import warnings
+                warnings.warn(
+                    "sparse_grid_format='ell' is not available for "
+                    "reader-streamed npz input (pre-sharded triplet "
+                    "blocks); running the triplet grid path")
             self._grid_sparse = (A.gs, A.perm)
         elif self._sparse and self.ctx.shape != (1, 1):
-            # grid-sharded triplet, built once: the ensemble batches data
-            # vectors over these shared block indices
-            from ..ops.sparse import shard_sparse_grid
-            gs, _, perm = shard_sparse_grid(A, self.ctx, return_perm=True)
-            self._grid_sparse = (gs, perm)
+            # grid-sharded sparse, built once: the ensemble batches data
+            # vectors over the shared block slot->nnz perms.  Format per
+            # sparse_grid_format (VERDICT r4 item 3): per-block capped-ELL
+            # (the TPU gather path) when packable, else the segment_sum
+            # triplet
+            f = (cfg.nmf.sparse_grid_format or "").lower() or None
+            if f not in (None, "ell", "triplet"):
+                raise ValueError(
+                    f"sparse_grid_format must be 'ell' or 'triplet', "
+                    f"got {cfg.nmf.sparse_grid_format!r}")
+            if f == "ell" or (f is None
+                              and jax.default_backend() == "tpu"):
+                from ..ops.ell import grid_ell_pack
+                packed = grid_ell_pack(A, self.ctx, return_perms=True)
+                if packed is not None:
+                    self._grid_ell = packed
+                elif f == "ell":
+                    raise ValueError(
+                        "sparse_grid_format='ell' but the matrix does "
+                        "not ELL-pack; use 'triplet'")
+            if self._grid_ell is None:
+                from ..ops.sparse import shard_sparse_grid
+                gs, _, perm = shard_sparse_grid(A, self.ctx,
+                                                return_perm=True)
+                self._grid_sparse = (gs, perm)
         elif not self._sparse and self.ctx.n_devices > 1:
             # pad-and-mask for XLA's even-tiling requirement; downstream
             # stats stay in original coordinates (padding is appended, so
@@ -788,7 +891,14 @@ class NMFk:
             b = min(batch, n_pert - done)
             b_pad = -(-b // p_e) * p_e
             with prec_ctx():
-                if sparse_A and self._grid_sparse is not None:
+                if sparse_A and self._grid_ell is not None:
+                    E, rperm, cperm, rtperm, ctperm = self._grid_ell
+                    program = _ensemble_program_sparse_grid_ell(
+                        ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                        self.ctx, A.shape[0], A.shape[1])
+                    W, H, errs = program(A.data, E, rperm, cperm,
+                                         rtperm, ctperm, key, done)
+                elif sparse_A and self._grid_sparse is not None:
                     gs, perm = self._grid_sparse
                     program = _ensemble_program_sparse_grid(
                         ncfg, b_pad, cfg.sampling, float(cfg.noise_var),

@@ -60,13 +60,17 @@ def mu_kl_step(A, W, H, eps, W_update=True, chunk=0, use_pallas=False,
         # chunk/Pallas/mesh machinery is dense-only and unused here.
         # Row-sharded triplets run per block under shard_map (the dense
         # 1D topology's collective contract).
-        from ..ops.ell import EllSparse, ell_kl_uht, ell_kl_wtu
+        from ..ops.ell import (EllSparse, GridEllSparse, ell_kl_uht,
+                               ell_kl_wtu, gell_kl_uht, gell_kl_wtu)
         from ..ops.sparse import (GridShardedSparse, kl_uht_sparse,
                                   kl_wtu_sparse, nnz_chunk_size,
                                   rs_kl_uht, rs_kl_wtu)
         if isinstance(A, EllSparse):
             uht = lambda a, w, h: ell_kl_uht(a, w, h, eps)
             wtu = lambda a, w, h: ell_kl_wtu(a, w, h, eps)
+        elif isinstance(A, GridEllSparse):
+            uht = lambda a, w, h: gell_kl_uht(a, w, h, eps)
+            wtu = lambda a, w, h: gell_kl_wtu(a, w, h, eps)
         elif isinstance(A, GridShardedSparse):
             uht = lambda a, w, h: rs_kl_uht(a, w, h, eps)
             wtu = lambda a, w, h: rs_kl_wtu(a, w, h, eps)

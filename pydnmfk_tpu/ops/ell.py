@@ -348,6 +348,302 @@ def ell_col_sqsum(A: EllSparse):
     return out
 
 
+# ---------------------------------------------------------------------------
+# GRID-sharded capped-ELL (VERDICT r4 item 3): per-block dual-ELL (+COO
+# tails) under shard_map, so the very-sparse TPU gather path runs on
+# ('r','c') meshes — and, via the NMFk ensemble's vmap(spmd_axis_name='e'),
+# in three-way ('e','r','c') parallelism — instead of falling back to the
+# segment_sum triplet path (measured ~3-4x slower per nnz,
+# docs/PERFORMANCE.md "Sparse on TPU").  Device (i, j) holds block
+# (i, j)'s rows/columns ELL-packed with block-LOCAL indices; widths and
+# tail lengths are shared across blocks (SPMD-uniform shapes), padding
+# slots carry zero values (inert in every product).  Collective contract
+# matches the dense/triplet paths: A Hᵀ partials psum over 'c', Wᵀ A /
+# column reductions psum over 'r' (reference dist_nmf.py:144-205).
+# ---------------------------------------------------------------------------
+@jax.tree_util.register_pytree_node_class
+class GridEllSparse:
+    """Per-block dual-orientation capped-width ELLPACK on a (p_r, p_c)
+    mesh.  4-d containers (p_r, p_c, lines_local, w) sharded
+    P('r','c',∅,∅); tails (p_r, p_c, t) sharded P('r','c',∅).  ``shape``
+    is the padded global (m, n); ``block`` = (m/p_r, n/p_c)."""
+
+    _pydnmfk_sparse = True            # recognized by linalg.is_sparse
+
+    def __init__(self, rvals, rcols, rtail_d, rtail_r, rtail_c,
+                 cvals, crows, ctail_d, ctail_r, ctail_c,
+                 shape, block, nse, mesh):
+        self.rvals = rvals
+        self.rcols = rcols
+        self.rtail_d = rtail_d
+        self.rtail_r = rtail_r
+        self.rtail_c = rtail_c
+        self.cvals = cvals
+        self.crows = crows
+        self.ctail_d = ctail_d
+        self.ctail_r = ctail_r
+        self.ctail_c = ctail_c
+        self.shape = tuple(shape)
+        self.block = tuple(block)
+        self.nse = nse
+        self.mesh = mesh
+
+    def tree_flatten(self):
+        return ((self.rvals, self.rcols, self.rtail_d, self.rtail_r,
+                 self.rtail_c, self.cvals, self.crows, self.ctail_d,
+                 self.ctail_r, self.ctail_c),
+                (self.shape, self.block, self.nse, self.mesh))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def dtype(self):
+        return self.rvals.dtype
+
+    def astype(self, dtype):
+        return GridEllSparse(
+            self.rvals.astype(dtype), self.rcols,
+            self.rtail_d.astype(dtype), self.rtail_r, self.rtail_c,
+            self.cvals.astype(dtype), self.crows,
+            self.ctail_d.astype(dtype), self.ctail_r, self.ctail_c,
+            self.shape, self.block, self.nse, self.mesh)
+
+
+def grid_ell_pack(A, ctx, cap_q: float = 0.995, max_blowup: float = 4.0,
+                  max_tail_frac: float = 0.25, w_cap=None,
+                  return_perms: bool = False):
+    """BCOO -> GridEllSparse on ctx's (p_r, p_c) mesh (host side).
+
+    Same capping policy as ``ell_pack``, applied to block-local lines with
+    ONE shared width per orientation (SPMD shapes must agree across
+    blocks).  Returns None when the capped storage blows up or the tails
+    exceed ``max_tail_frac`` — callers fall back to the triplet grid.
+
+    ``return_perms=True`` additionally returns slot -> ORIGINAL nnz index
+    maps for all four value containers (padding slots = nnz), which the
+    NMFk ensemble uses to gather batched member data vectors into block
+    layout (member noise streams stay identical to every other path)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+
+    p_r, p_c = ctx.shape
+    m, n = A.shape
+    m_pad = -(-m // p_r) * p_r
+    n_pad = -(-n // p_c) * p_c
+    br, bc = m_pad // p_r, n_pad // p_c
+    rows = np.asarray(A.indices[:, 0])
+    cols = np.asarray(A.indices[:, 1])
+    vals = np.asarray(A.data)
+    nnz = vals.shape[0]
+    if nnz == 0:
+        return None
+    blk = (rows // br) * p_c + (cols // bc)
+    nb = p_r * p_c
+
+    def pack(line_ids, n_lines, lines_per_blk, others):
+        counts = np.bincount(line_ids, minlength=n_lines)
+        w = int(w_cap) if w_cap else max(int(np.quantile(counts, cap_q)), 1)
+        w = min(w, max(int(counts.max()), 1))
+        if w * n_lines > max_blowup * nnz + 8 * n_lines:
+            return None
+        order = np.argsort(line_ids, kind="stable")
+        ls, os_, vs = line_ids[order], others[order], vals[order]
+        starts = np.zeros(n_lines + 1, np.int64)
+        starts[1:] = np.cumsum(counts)
+        slot = np.arange(nnz) - starts[ls]
+        main = slot < w
+        tail = ~main
+        if tail.sum() > max_tail_frac * nnz:
+            return None
+        v = np.zeros((n_lines, w), vals.dtype)
+        i = np.zeros((n_lines, w), np.int32)
+        p = np.full((n_lines, w), nnz, np.int32)
+        v[ls[main], slot[main]] = vs[main]
+        i[ls[main], slot[main]] = os_[main]
+        p[ls[main], slot[main]] = order[main]
+        # per-block tails, padded to a shared length
+        t_blk = (ls[tail] // lines_per_blk).astype(np.int64)
+        t_counts = np.bincount(t_blk, minlength=nb)
+        t_max = int(t_counts.max()) if t_counts.size else 0
+        td = np.zeros((nb, t_max), vals.dtype)
+        tl = np.zeros((nb, t_max), np.int32)    # line (local) index
+        to = np.zeros((nb, t_max), np.int32)    # other (local) index
+        tp = np.full((nb, t_max), nnz, np.int32)
+        t_starts = np.zeros(nb + 1, np.int64)
+        t_starts[1:] = np.cumsum(t_counts)
+        t_slot = np.arange(int(tail.sum())) - t_starts[t_blk]
+        td[t_blk, t_slot] = vs[tail]
+        tl[t_blk, t_slot] = (ls[tail] % lines_per_blk).astype(np.int32)
+        to[t_blk, t_slot] = os_[tail]
+        tp[t_blk, t_slot] = order[tail]
+        shape4 = (p_r, p_c, lines_per_blk, w)
+        shape3 = (p_r, p_c, t_max)
+        return (v.reshape(shape4), i.reshape(shape4),
+                td.reshape(shape3), tl.reshape(shape3),
+                to.reshape(shape3), p.reshape(shape4),
+                tp.reshape(shape3))
+
+    # row orientation: line = (block, local row); others = local col
+    r = pack(blk * br + rows % br, nb * br, br, (cols % bc).astype(np.int32))
+    # col orientation: line = (block, local col); others = local row
+    c = pack(blk * bc + cols % bc, nb * bc, bc, (rows % br).astype(np.int32))
+    if r is None or c is None:
+        return None
+    sh4 = NamedSharding(ctx.mesh, P(ROW_AXIS, COL_AXIS, None, None))
+    sh3 = NamedSharding(ctx.mesh, P(ROW_AXIS, COL_AXIS, None))
+    put4 = lambda x: jax.device_put(jnp.asarray(x), sh4)
+    put3 = lambda x: jax.device_put(jnp.asarray(x), sh3)
+    E = GridEllSparse(
+        put4(r[0]), put4(r[1]), put3(r[2]), put3(r[3]), put3(r[4]),
+        put4(c[0]), put4(c[1]), put3(c[2]), put3(c[4]), put3(c[3]),
+        (m_pad, n_pad), (br, bc), nnz, ctx.mesh)
+    if return_perms:
+        return (E, put4(r[5]), put4(c[5]), put3(r[6]), put3(c[6]))
+    return E
+
+
+def _gell_shard_map(fn, A: GridEllSparse, containers, in_extra, out_spec):
+    """shard_map over the grid; `fn` receives the LOCAL blocks (leading
+    (1, 1) dims stripped) of the named containers plus the extras."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                      # older jax
+        from jax.experimental.shard_map import shard_map
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    args, specs = [], []
+    for name in containers:
+        arr = getattr(A, name)
+        args.append(arr)
+        specs.append(P(ROW_AXIS, COL_AXIS, *([None] * (arr.ndim - 2))))
+    specs += [s for _, s in in_extra]
+    args += [a for a, _ in in_extra]
+
+    def wrapped(*xs):
+        local = [x.reshape(x.shape[2:]) for x in xs[:len(containers)]]
+        return fn(*local, *xs[len(containers):])
+
+    return shard_map(wrapped, mesh=A.mesh, in_specs=tuple(specs),
+                     out_specs=out_spec, check_vma=False)(*args)
+
+
+def gell_a_ht(A: GridEllSparse, H):
+    """A @ H^T -> (m, k) sharded P('r', ∅); block partials psum over 'c'."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    br = A.block[0]
+
+    def local(rv, rc, td, tr, tc, h):
+        out = _gather_product(rv, rc, h.T)
+        if td.shape[0]:
+            from .sparse import a_ht
+            out = out + a_ht(td, tr, tc, h, br)
+        return lax.psum(out, COL_AXIS).astype(
+            jnp.result_type(rv.dtype, h.dtype))
+
+    return _gell_shard_map(
+        local, A, ("rvals", "rcols", "rtail_d", "rtail_r", "rtail_c"),
+        [(H, P(None, COL_AXIS))], P(ROW_AXIS, None))
+
+
+def gell_wt_a(A: GridEllSparse, W):
+    """W^T @ A -> (k, n) sharded P(∅, 'c'); block partials psum over 'r'."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    bc = A.block[1]
+
+    def local(cv, cr, td, tr, tc, w):
+        out = _gather_product(cv, cr, w)
+        if td.shape[0]:
+            from .sparse import wt_a
+            out = out + wt_a(td, tr, tc, w, bc).T
+        return lax.psum(out.T, ROW_AXIS).astype(
+            jnp.result_type(cv.dtype, w.dtype))
+
+    return _gell_shard_map(
+        local, A, ("cvals", "crows", "ctail_d", "ctail_r", "ctail_c"),
+        [(W, P(ROW_AXIS, None))], P(None, COL_AXIS))
+
+
+def gell_kl_uht(A: GridEllSparse, W, H, eps):
+    """(A / (WH + eps)) @ H^T -> (m, k) P('r', ∅); U shares A's pattern."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    br = A.block[0]
+
+    def local(rv, rc, td, tr, tc, w, h):
+        out = _gather_product(rv, rc, h.T, ratio_with=w, eps=eps)
+        if td.shape[0]:
+            from .sparse import a_ht, sddmm
+            wh = sddmm(w, h, tr, tc)
+            u = td.astype(wh.dtype) / (wh + eps)
+            out = out + a_ht(u, tr, tc, h, br)
+        return lax.psum(out, COL_AXIS).astype(
+            jnp.result_type(rv.dtype, w.dtype))
+
+    return _gell_shard_map(
+        local, A, ("rvals", "rcols", "rtail_d", "rtail_r", "rtail_c"),
+        [(W, P(ROW_AXIS, None)), (H, P(None, COL_AXIS))],
+        P(ROW_AXIS, None))
+
+
+def gell_kl_wtu(A: GridEllSparse, W, H, eps):
+    """W^T @ (A / (WH + eps)) -> (k, n) P(∅, 'c')."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+    bc = A.block[1]
+
+    def local(cv, cr, td, tr, tc, w, h):
+        out = _gather_product(cv, cr, w, ratio_with=h.T, eps=eps)
+        if td.shape[0]:
+            from .sparse import sddmm, wt_a
+            wh = sddmm(w, h, tr, tc)
+            u = td.astype(wh.dtype) / (wh + eps)
+            out = out + wt_a(u, tr, tc, w, bc).T
+        return lax.psum(out.T, ROW_AXIS).astype(
+            jnp.result_type(cv.dtype, w.dtype))
+
+    return _gell_shard_map(
+        local, A, ("cvals", "crows", "ctail_d", "ctail_r", "ctail_c"),
+        [(W, P(ROW_AXIS, None)), (H, P(None, COL_AXIS))],
+        P(None, COL_AXIS))
+
+
+def gell_col_sqsum(A: GridEllSparse):
+    """Per-column sum of squares -> (n,) sharded P('c')."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+
+    def local(cv, td, tc):
+        c = cv.astype(_acc_dtype(cv))
+        out = jnp.sum(c * c, axis=1)
+        if td.shape[0]:
+            t = td.astype(out.dtype)
+            out = out + jax.ops.segment_sum(t * t, tc,
+                                            num_segments=cv.shape[0])
+        return lax.psum(out, ROW_AXIS)
+
+    return _gell_shard_map(local, A, ("cvals", "ctail_d", "ctail_c"), [],
+                           P(COL_AXIS))
+
+
+def gell_sqnorm(A: GridEllSparse):
+    """Global sum of squared values (padding slots are zero — exact)."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import COL_AXIS, ROW_AXIS
+
+    def local(rv, td):
+        r = rv.astype(_acc_dtype(rv))
+        t = td.astype(r.dtype)
+        return lax.psum(jnp.sum(r * r) + jnp.sum(t * t),
+                        (ROW_AXIS, COL_AXIS))
+
+    return _gell_shard_map(local, A, ("rvals", "rtail_d"), [], P())
+
+
 def ell_time_model(m: int, n: int, nse: int, k: int,
                    a_bytes: int = 4) -> tuple:
     """(t_ell, t_dense) rough per-product seconds on one v5e.

@@ -103,11 +103,13 @@ def gram_t(X: jax.Array) -> jax.Array:
 def matmul_WTA(W: jax.Array, A: jax.Array) -> jax.Array:
     """W^T A -> (k, n), sharded like H.  psum over 'r'."""
     if is_sparse(A):
-        from .ell import EllSparse, ell_wt_a
+        from .ell import EllSparse, GridEllSparse, ell_wt_a, gell_wt_a
         from .sparse import (GridShardedSparse, nnz_chunk_size, rs_wt_a,
                              wt_a_bcoo)
         if isinstance(A, EllSparse):
             return ell_wt_a(A, W)
+        if isinstance(A, GridEllSparse):
+            return gell_wt_a(A, W)
         if isinstance(A, GridShardedSparse):
             return rs_wt_a(A, W)
         return wt_a_bcoo(A, W, nnz_chunk_size(A.nse, W.shape[1]))
@@ -117,11 +119,13 @@ def matmul_WTA(W: jax.Array, A: jax.Array) -> jax.Array:
 def matmul_AHT(A: jax.Array, H: jax.Array) -> jax.Array:
     """A H^T -> (m, k), sharded like W.  psum over 'c'."""
     if is_sparse(A):
-        from .ell import EllSparse, ell_a_ht
+        from .ell import EllSparse, GridEllSparse, ell_a_ht, gell_a_ht
         from .sparse import (GridShardedSparse, a_ht_bcoo, nnz_chunk_size,
                              rs_a_ht)
         if isinstance(A, EllSparse):
             return ell_a_ht(A, H)
+        if isinstance(A, GridEllSparse):
+            return gell_a_ht(A, H)
         if isinstance(A, GridShardedSparse):
             return rs_a_ht(A, H)
         return a_ht_bcoo(A, H, nnz_chunk_size(A.nse, H.shape[0]))
@@ -131,6 +135,9 @@ def matmul_AHT(A: jax.Array, H: jax.Array) -> jax.Array:
 def sqnorm(X: jax.Array) -> jax.Array:
     """Global squared Frobenius norm (f32/f64 accumulation)."""
     if is_sparse(X):
+        from .ell import GridEllSparse, gell_sqnorm
+        if isinstance(X, GridEllSparse):
+            return gell_sqnorm(X)       # block-local sums + psum
         d = X.data.astype(_acc_dtype(X.data))
         return jnp.sum(d * d)
     Xa = X.astype(_acc_dtype(X))
@@ -294,7 +301,7 @@ def normalize_features(W: jax.Array, H: jax.Array, eps: float):
 # f32 (fine for NMF reconstruction errors, which are O(1e-2..1)).
 # ---------------------------------------------------------------------------
 def _sparse_relative_error(A, W, H):
-    acc = _acc_dtype(A.data)
+    acc = _acc_dtype(W)
     WTA = matmul_WTA(W, A).astype(acc)        # (k, n), gather/segment path
     a2 = sqnorm(A)
     cross = jnp.sum(H.astype(acc) * WTA)
@@ -304,15 +311,18 @@ def _sparse_relative_error(A, W, H):
 
 
 def _sparse_column_error(A, W, H):
-    from .ell import EllSparse, ell_col_sqsum
+    from .ell import (EllSparse, GridEllSparse, ell_col_sqsum,
+                      gell_col_sqsum)
     from .sparse import GridShardedSparse, col_sqsum, rs_col_sqsum
-    acc = _acc_dtype(A.data)
+    acc = _acc_dtype(W)
     WTA = matmul_WTA(W, A).astype(acc)
     cross = jnp.sum(H.astype(acc) * WTA, axis=0)              # (n,)
     WTW = gram(W).astype(acc)
     wh2 = jnp.sum(H.astype(acc) * matmul(WTW, H.astype(acc)), axis=0)
     if isinstance(A, EllSparse):
         a2 = ell_col_sqsum(A)
+    elif isinstance(A, GridEllSparse):
+        a2 = gell_col_sqsum(A)
     elif isinstance(A, GridShardedSparse):
         a2 = rs_col_sqsum(A, A.shape[1])
     else:

@@ -281,6 +281,32 @@ def shard_sparse_grid(A, ctx, return_perm: bool = False):
     return gs, (m_pad, n_pad)
 
 
+def shard_sparse_for_grid(A, ctx, fmt=None):
+    """Build the grid execution format for a BCOO A on ctx's (p_r, p_c)
+    mesh (single-solve path; the NMFk ensemble builds formats itself for
+    the member-perm plumbing).  ``fmt``: None = auto — per-block
+    capped-ELL (ops/ell.py, the TPU gather path: measured 3-4x the
+    segment_sum triplet rate per nnz) when on TPU and the matrix packs,
+    triplet otherwise (CPU's segment_sum path is efficient); "ell" /
+    "triplet" force.  Returns (sharded, (m_pad, n_pad))."""
+    f = (fmt or "").lower() or None
+    if f not in (None, "ell", "triplet"):
+        raise ValueError(f"sparse_grid_format must be 'ell' or 'triplet', "
+                         f"got {fmt!r}")
+    import jax as _jax
+    if f == "ell" or (f is None and _jax.default_backend() == "tpu"):
+        from .ell import grid_ell_pack
+        E = grid_ell_pack(A, ctx)
+        if E is not None:
+            return E, E.shape
+        if f == "ell":
+            raise ValueError(
+                "sparse_grid_format='ell' but the matrix does not "
+                "ELL-pack (nnz distribution too skewed / tails too "
+                "heavy); use 'triplet'")
+    return shard_sparse_grid(A, ctx)
+
+
 def _gs_shard_map(fn, A, in_extra, out_spec):
     """shard_map over the grid; `fn` receives flattened local triplets."""
     from jax.sharding import PartitionSpec as P
@@ -416,9 +442,9 @@ def densify_for_backend(A, budget_frac: float = 0.45, allow_ell: bool = True,
     efficient there.  ``allow_ell=False`` restores densify-or-raise (the
     NMFk ensemble batches members, where ELL's gather cost multiplies)."""
     from .linalg import is_sparse
-    from .ell import EllSparse
+    from .ell import EllSparse, GridEllSparse
     if (not is_sparse(A) or isinstance(A, GridShardedSparse)
-            or isinstance(A, EllSparse)
+            or isinstance(A, EllSparse) or isinstance(A, GridEllSparse)
             or isinstance(A, SparseGridInput)):
         return A                      # already committed to a format
     import jax

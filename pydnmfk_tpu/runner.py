@@ -26,7 +26,8 @@ class Runner:
                  process="pyDNMF", a_precision=None, seed_grid=None,
                  seed=100, tol=0.0, solve_checkpoint_every=0,
                  ensemble_batch=0, matmul_precision=None,
-                 save_factors=False, bcd_obj=None):
+                 save_factors=False, bcd_obj=None,
+                 sparse_grid_format=None):
         if process not in ("pyDNMF", "pyDNMFk"):
             raise ValueError("process should be either pyDNMFk or pyDNMF")
         self.init = init
@@ -53,6 +54,7 @@ class Runner:
         self.matmul_precision = matmul_precision
         self.save_factors = save_factors
         self.bcd_obj = bcd_obj
+        self.sparse_grid_format = sparse_grid_format
         timing.enable(timing_stats)
         from .config import enable_compilation_cache
         enable_compilation_cache()
@@ -70,7 +72,8 @@ class Runner:
             seed=self.seed, tol=self.tol,
             solve_checkpoint_every=self.solve_checkpoint_every,
             matmul_precision=self.matmul_precision,
-            save_factors=self.save_factors, bcd_obj=self.bcd_obj)
+            save_factors=self.save_factors, bcd_obj=self.bcd_obj,
+            sparse_grid_format=self.sparse_grid_format)
         ctx = grid_context(*grid)
         reader = DataReader(fpath, fname, ftype, pgrid=grid,
                             precision=self.precision)

@@ -41,8 +41,14 @@ def test_formats_agree(seed, m, n, ktrue, density, norm, method):
     _, _, e_ell = NMF(cfg).fit(E)
     _, _, e_grid = NMF(cfg.replace(grid=(2, 2)),
                        grid_context(2, 2)).fit(Asp)
+    # per-block capped-ELL on the same mesh (VERDICT r4 item 3) —
+    # forced, since the CPU auto-policy picks the triplet
+    _, _, e_gell = NMF(cfg.replace(grid=(2, 2),
+                                   sparse_grid_format="ell"),
+                       grid_context(2, 2)).fit(Asp)
 
     # same init stream + same math, only summation order differs
     np.testing.assert_allclose(e_bcoo, e_dense, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(e_ell, e_bcoo, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(e_grid, e_bcoo, atol=5e-4, rtol=5e-3)
+    np.testing.assert_allclose(e_gell, e_grid, atol=5e-4, rtol=5e-3)

@@ -207,6 +207,42 @@ def test_sparse_nmfk_multidevice_matches_single(tmp_path, grid, p_e):
                                    rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.parametrize("grid,p_e", [((2, 2), 1), ((2, 1), 2)])
+def test_sparse_nmfk_grid_ell_matches_triplet(tmp_path, grid, p_e):
+    """Grid-sharded capped-ELL ensembles (VERDICT r4 item 3): with
+    sparse_grid_format='ell' the per-block dual-ELL gather path under
+    shard_map — including the ('e','r','c') three-way composition —
+    selects the same k with near-identical stats as the triplet grid
+    (identical member noise/init streams via the slot->nnz perms)."""
+    from pydnmfk_tpu.config import NMFkConfig
+    from pydnmfk_tpu.models.nmfk import NMFk
+    from pydnmfk_tpu.parallel.mesh import grid_context
+
+    Asp = _planted_sparse(m=78, n=60)       # uneven over the mesh rows
+    mk = lambda sub, fmt: NMFkConfig(
+        nmf=NMFConfig(k=0, norm="fro", method="mu", itr=250, init="rand",
+                      seed=42, sparse_grid_format=fmt),
+        start_k=2, end_k=4, perturbations=4, noise_var=0.03, sill_thr=0.6,
+        results_path=str(tmp_path / sub) + "/", fname="sp",
+        checkpoint=False)
+
+    ctx = grid_context(*grid, p_e)
+    tri = NMFk(mk("tri", "triplet"), ctx)
+    nopt_t = tri.fit(Asp)
+    gell = NMFk(mk("gell", "ell"), ctx)
+    nopt_e = gell.fit(Asp)
+    assert gell._grid_ell is not None       # the ELL path actually ran
+    assert nopt_e == nopt_t == 3
+    for k in (2, 3, 4):
+        st, se = tri.per_k_stats[k], gell.per_k_stats[k]
+        np.testing.assert_allclose(se["avgErr"], st["avgErr"], rtol=1e-3)
+        np.testing.assert_allclose(
+            se["clusterSilhouetteCoefficients"],
+            st["clusterSilhouetteCoefficients"], atol=5e-3)
+        np.testing.assert_allclose(se["L_err"], st["L_err"],
+                                   rtol=2e-2, atol=2e-3)
+
+
 def test_sparse_nmfk_ell_mode_matches_bcoo(tmp_path, monkeypatch):
     """NMFk with the ELL member format (the TPU very-sparse/beyond-HBM
     regime) selects the same k with near-identical stats as the BCOO
