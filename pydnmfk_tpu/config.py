@@ -91,6 +91,12 @@ class NMFConfig:
     # 11.7 ms/iter at the flagship shape, tools/slope_probe.py) for
     # bitwise-f32 operand reproducibility.
     matmul_precision: Optional[str] = None
+    # HALS delayed-update block size: 0/None = the reference-structured
+    # column-by-column sweep (default — measured FASTER on the v5e,
+    # where the chain is reduction-bound, not matvec-bound); > 0 runs
+    # exact Gauss-Seidel via LAPACK-style blocked delayed updates
+    # (models/updates.py::hals_step docstring has the measurements).
+    hals_block: Optional[int] = None
     # Sparse execution format on a multi-device ('r','c') grid:
     # None = auto (TPU: per-block capped-ELL gather path when the matrix
     # packs — measured 3-4x the segment_sum triplet rate per nnz; CPU:

@@ -41,7 +41,8 @@ def _solve(A, W, H, eps, col_mask=None, *, norm: str, method: str, itr: int,
            W_update: bool, chunk: int, use_pallas: bool = False,
            use_fused: bool = False, tol: float = 0.0,
            tol_check_every: int = 50, mesh=None, err_chunk: int = 0,
-           finalize: bool = True, bcd_obj: str = "gram"):
+           finalize: bool = True, bcd_obj: str = "gram",
+           hals_block=None):
     """``col_mask`` (bool (K,)) marks the ACTIVE factor columns of a
     K-padded solve: W columns / H rows outside the mask are held at exact
     zero (re-zeroed after every step's eps clip), which makes the active
@@ -73,7 +74,8 @@ def _solve(A, W, H, eps, col_mask=None, *, norm: str, method: str, itr: int,
             step = partial(updates.mu_kl_step, W_update=W_update,
                            chunk=chunk, use_pallas=use_pallas, mesh=mesh)
     elif norm == "fro" and method == "hals":
-        step = partial(updates.hals_step, W_update=W_update)
+        step = partial(updates.hals_step, W_update=W_update,
+                       block=hals_block)
     elif norm == "fro" and method == "bcd":
         step = None
     elif method == "bcd" or method == "hals":
@@ -148,14 +150,16 @@ def _solve(A, W, H, eps, col_mask=None, *, norm: str, method: str, itr: int,
 def _jitted_solver(norm, method, itr, W_update, chunk, batched,
                    use_pallas=False, use_fused=False, tol=0.0,
                    tol_check_every=50, mesh=None, err_chunk=0,
-                   finalize=True, bcd_obj="gram", masked=False):
+                   finalize=True, bcd_obj="gram", masked=False,
+                   hals_block=None):
     """``masked=True`` adds a per-member active-column mask argument
     (b, K) — the K-padded k-sweep path (see _solve's col_mask)."""
     fn = partial(_solve, norm=norm, method=method, itr=itr,
                  W_update=W_update, chunk=chunk, use_pallas=use_pallas,
                  use_fused=use_fused, tol=tol,
                  tol_check_every=tol_check_every, mesh=mesh,
-                 err_chunk=err_chunk, finalize=finalize, bcd_obj=bcd_obj)
+                 err_chunk=err_chunk, finalize=finalize, bcd_obj=bcd_obj,
+                 hals_block=hals_block)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, 0, 0, None, 0) if masked
                       else (0, 0, 0, None))
@@ -242,7 +246,8 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                         chunk, batched, bool(use_pallas),
                         bool(use_fused), float(cfg.tol),
                         int(cfg.tol_check_every), mesh, err_chunk,
-                        bool(finalize), cfg.bcd_obj or "gram")
+                        bool(finalize), cfg.bcd_obj or "gram",
+                        hals_block=cfg.hals_block)
     if cfg.matmul_precision:
         # dot-operand precision (config.py): the context participates in
         # the jit cache key, so default/highest variants coexist

@@ -100,7 +100,7 @@ def _ensemble_program(ncfg: NMFConfig, b_pad: int, sampling: str,
         ncfg.norm.lower(), ncfg.method.lower(), ncfg.itr, True,
         ncfg.kl_chunk, True, use_pallas, use_fused, float(ncfg.tol),
         int(ncfg.tol_check_every), None, err_chunk, True,
-        ncfg.bcd_obj or "gram")
+        ncfg.bcd_obj or "gram", hals_block=ncfg.hals_block)
 
     def program(A, key, offset):
         keys = sampler.member_keys(key, offset, b_pad)
@@ -188,7 +188,7 @@ def _ensemble_program_polyk(ncfg: NMFConfig, b_pad: int, sampling: str,
         ncfg.norm.lower(), ncfg.method.lower(), ncfg.itr, True,
         ncfg.kl_chunk, True, use_pallas, use_fused, float(ncfg.tol),
         int(ncfg.tol_check_every), None, err_chunk, True,
-        ncfg.bcd_obj or "gram", masked=True)
+        ncfg.bcd_obj or "gram", masked=True, hals_block=ncfg.hals_block)
 
     def program(A, key, offset, W0, H0, kmask):
         keys = sampler.member_keys(key, offset, b_pad)
@@ -256,7 +256,8 @@ def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
                 Am, w0, h0, eps, norm=ncfg.norm.lower(),
                 method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
                 chunk=0, tol=float(ncfg.tol),
-                tol_check_every=int(ncfg.tol_check_every))
+                tol_check_every=int(ncfg.tol_check_every),
+                hals_block=ncfg.hals_block)
 
         return jax.vmap(member)(data_ens, W0, H0)
 
@@ -311,7 +312,8 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
                 Am, w0, h0, eps, norm=ncfg.norm.lower(),
                 method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
                 chunk=0, tol=float(ncfg.tol),
-                tol_check_every=int(ncfg.tol_check_every))
+                tol_check_every=int(ncfg.tol_check_every),
+                hals_block=ncfg.hals_block)
 
         from ..ops.ell import ell_pallas_disabled
         with ell_pallas_disabled():      # vmapped pallas_call: XLA path
@@ -386,7 +388,8 @@ def _ensemble_program_sparse_grid_ell(ncfg: NMFConfig, b_pad: int,
                 Am, w0, h0, eps, norm=ncfg.norm.lower(),
                 method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
                 chunk=0, tol=float(ncfg.tol),
-                tol_check_every=int(ncfg.tol_check_every))
+                tol_check_every=int(ncfg.tol_check_every),
+                hals_block=ncfg.hals_block)
 
         with ell_pallas_disabled():      # vmapped pallas_call: XLA path
             return jax.vmap(member, spmd_axis_name=e_ax)(
@@ -462,7 +465,8 @@ def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
                 Am, w0, h0, eps, norm=ncfg.norm.lower(),
                 method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
                 chunk=0, tol=float(ncfg.tol),
-                tol_check_every=int(ncfg.tol_check_every))
+                tol_check_every=int(ncfg.tol_check_every),
+                hals_block=ncfg.hals_block)
 
         return jax.vmap(member, spmd_axis_name=e_ax)(d_blocks, W0, H0)
 
