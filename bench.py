@@ -33,8 +33,13 @@ PEAK_BF16 = 197e12
 PEAK_F32 = PEAK_BF16
 
 
-def time_solve(A, W, H, cfg, reps=3):
-    """Median-free simple timing of the full production solve."""
+def time_solve(A, W, H, cfg, reps=3, agg="mean"):
+    """Simple timing of the full production solve.  ``agg='min'`` takes
+    the per-rep minimum instead of the mean — used for format-comparison
+    rows where the relay's first-execution overhead (a one-off multi-
+    second spike on programs with many input buffers) would otherwise
+    swamp the steady-state rate (measured: grid-ELL reps of
+    [2691, 84, 83, 84] ms — tools note in docs/PERFORMANCE.md)."""
     import jax
     import jax.numpy as jnp
     from pydnmfk_tpu.models import nmf as nmf_mod
@@ -43,6 +48,14 @@ def time_solve(A, W, H, cfg, reps=3):
     # warmup/compile
     W1, H1, err = nmf_mod.solve(A, W, H, eps, cfg)
     float(err)
+    if agg == "min":
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            W1, H1, err = nmf_mod.solve(A, W1, H1, eps, cfg)
+            float(err)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
     t0 = time.perf_counter()
     for _ in range(reps):
         # chain outputs into inputs: every rep computes fresh values
@@ -320,17 +333,20 @@ def main():
             Asp = sparse_coo(ms, ns, nnz, seed=3)
             Eg = grid_ell_pack(Asp, ctx1)
             Gt, _ = shard_sparse_grid(Asp, ctx1)
+            E0 = ell_pack(Asp)          # single-device path, same matrix
             kWs, kHs = jax.random.split(jax.random.fold_in(key, 9))
             Ws = jax.random.uniform(kWs, (ms, K), jnp.float32)
             Hs = jax.random.uniform(kHs, (K, ns), jnp.float32)
-            dt_ge = time_solve(Eg, Ws, Hs, cfg)
-            dt_tri = time_solve(Gt, Ws, Hs, cfg)
+            dt_ge = time_solve(Eg, Ws, Hs, cfg, reps=4, agg="min")
+            dt_tri = time_solve(Gt, Ws, Hs, cfg, reps=4, agg="min")
+            dt_pe = time_solve(E0, Ws, Hs, cfg, reps=4, agg="min")
             rows.append({
                 "metric": f"sparse_grid_ell_vs_triplet_{ms}x{ns}_k{K}",
                 "value": round(dt_ge, 4), "unit": "s",
                 "triplet_s": round(dt_tri, 4),
+                "plain_ell_s": round(dt_pe, 4),
                 "speedup_vs_triplet": round(dt_tri / dt_ge, 2)})
-            del Eg, Gt, Asp, Ws, Hs
+            del Eg, Gt, E0, Asp, Ws, Hs
 
         # ---- end-to-end k-sweep (VERDICT r4 item 1): the reference's
         # wtsi example — 8 k values x 20 perturbations x 1000 FRO-MU

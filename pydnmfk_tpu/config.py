@@ -191,6 +191,14 @@ class NMFkConfig:
     # the masked trajectory equals the unpadded per-k solve
     # (tests/test_k_sweep.py).  False restores the per-k programs.
     k_sweep_batch: Optional[bool] = None
+    # Merged multi-k batches (None = auto-on whenever k_sweep_batch is
+    # active and the sweep has > 1 k): members of SEVERAL k values pack
+    # into each batched dispatch (per-member noise indexed by the per-k
+    # perturbation number — results bitwise equal to the sequential
+    # path; perturbed copies are shared across ks exactly as the
+    # reference's seed=pert*1000 shares them).  False keeps one k per
+    # ensemble batch.
+    k_sweep_merge: Optional[bool] = None
     # pruned) matrix dims to divide the grid, as the reference's
     # identical-stream property implicitly does.  Poisson sampling draws
     # every grid block with the same key (the counter-based analog of the

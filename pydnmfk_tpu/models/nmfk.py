@@ -126,7 +126,7 @@ def _ensemble_program(ncfg: NMFConfig, b_pad: int, sampling: str,
 
 
 @functools.lru_cache(maxsize=64)
-def _ensemble_init_program(ncfg: NMFConfig, b_pad: int, K: int,
+def _ensemble_init_program(ncfg: NMFConfig, K: int,
                            sampling: str, noise_var: float,
                            ctx: GridContext, shard_batch: bool,
                            seed_grid=None):
@@ -139,8 +139,8 @@ def _ensemble_init_program(ncfg: NMFConfig, b_pad: int, K: int,
     a_dtype = ncfg.a_dtype
     sg = None if seed_grid in (None, (1, 1)) else tuple(seed_grid)
 
-    def program(A, key, offset):
-        keys = sampler.member_keys(key, offset, b_pad)
+    def program(A, key, midx):
+        keys = sampler.member_keys_at(key, midx)
         A_ens = None
         if ncfg.init == "nnsvd":
             # nnsvd consumes the perturbed copies — regenerate them here
@@ -166,7 +166,7 @@ def _ensemble_init_program(ncfg: NMFConfig, b_pad: int, K: int,
 
 
 @functools.lru_cache(maxsize=32)
-def _ensemble_program_polyk(ncfg: NMFConfig, b_pad: int, sampling: str,
+def _ensemble_program_polyk(ncfg: NMFConfig, sampling: str,
                             noise_var: float, ctx: GridContext,
                             shard_batch: bool, use_pallas: bool,
                             err_chunk: int = 0, seed_grid=None,
@@ -190,8 +190,8 @@ def _ensemble_program_polyk(ncfg: NMFConfig, b_pad: int, sampling: str,
         int(ncfg.tol_check_every), None, err_chunk, True,
         ncfg.bcd_obj or "gram", masked=True, hals_block=ncfg.hals_block)
 
-    def program(A, key, offset, W0, H0, kmask):
-        keys = sampler.member_keys(key, offset, b_pad)
+    def program(A, key, midx, W0, H0, kmask):
+        keys = sampler.member_keys_at(key, midx)
         A_ens = jax.vmap(lambda kk: sampler.sample_member(
             A, sampler.member_noise_key(kk), noise_var, sampling,
             tile_grid=sg))(keys)
@@ -782,8 +782,19 @@ class NMFk:
         self._polyk_K = max(cfg.k_range) if use_polyk else None
 
         start_k = self.checkpoint.resume_k(cfg.start_k, cfg.step_k)
-        for k in range(start_k, cfg.end_k + 1, cfg.step_k):
-            self.pynmfk_per_k(A, k)
+        ks = list(range(start_k, cfg.end_k + 1, cfg.step_k))
+        merge = (self._polyk_K is not None and len(ks) > 1
+                 and (cfg.k_sweep_merge if cfg.k_sweep_merge is not None
+                      else True))
+        if merge:
+            # merged multi-k batches: the ensemble stage packs members of
+            # several ks per dispatch; each k's clustering/stats run as
+            # soon as its members complete
+            for k, ens in self._solve_ensembles_merged(A, ks):
+                self.pynmfk_per_k(A, k, ensemble=ens)
+        else:
+            for k in ks:
+                self.pynmfk_per_k(A, k)
 
         nopt = self.pvalue_analysis()
         if is_proc0():
@@ -796,30 +807,77 @@ class NMFk:
         return nopt
 
     # ------------------------------------------------------------------
-    def _ensemble_batch_size(self, A, k, ncfg) -> int:
+    def _ensemble_batch_size(self, A, k, ncfg, max_members=None) -> int:
         """Members per batched solve: explicit config, or HBM-auto-sized
         (utils/memory.py) rounded to a multiple of p_e so the ensemble-axis
         sharding never silently degrades to replication."""
         cfg = self.cfg
         p_e = self.ctx.p_e
         m, n = A.shape
+        # merged multi-k sweeps batch members of several ks at once, so
+        # their capacity is bounded by the WHOLE sweep's member count,
+        # not one k's perturbations
+        cap = cfg.perturbations
+        if max_members is not None:
+            cap = max_members
         if cfg.ensemble_batch:
             batch = cfg.ensemble_batch
         elif linalg.is_sparse(A):
             from ..utils.memory import auto_ensemble_batch_sparse
             batch = auto_ensemble_batch_sparse(
-                m, n, A.nse, k, cfg.perturbations, ncfg,
+                m, n, A.nse, k, cap, ncfg,
                 budget=cfg.hbm_budget or None)
             # sharded sparse: per-device member cost shrinks with the mesh
             # (grid: block data 1/p per device; 'e': members split p_e ways)
             batch *= self.ctx.n_devices
         else:
             batch = auto_ensemble_batch(
-                m, n, k, cfg.perturbations, ncfg,
+                m, n, k, cap, ncfg,
                 self.ctx.shape, p_e,
                 budget=cfg.hbm_budget or None)
-        batch = max(1, min(batch, cfg.perturbations))
+        batch = max(1, min(batch, cap))
         return max(p_e, (batch // p_e) * p_e)
+
+    def _dense_gating(self, A, ncfg, size_k):
+        """(ncfg', use_pallas, use_fused, err_chunk): shared dense-path
+        solve policy — KL-chunk memory bound, pallas/fused kernel gating
+        (mirrors nmf.solve; vmapped Pallas is supported — measured 1.5x
+        for the fused FRO bf16-A path, tools/batched_fused_probe.py).
+        Used by both the sequential and the merged ensemble drivers."""
+        sh = getattr(A, "sharding", None)
+        single_shard = getattr(sh, "num_devices", 1) <= 1
+        if ncfg.norm.lower() == "kl" and not ncfg.kl_chunk:
+            # KL memory safety for the batched path too: bound the per-
+            # member m x n ratio slab before batch sizing so the cost
+            # model sees the bounded slab, not a full-m U
+            kc = linalg.error_chunk_rows(A.shape[0], A.shape[1],
+                                         sharded=not single_shard)
+            if kc:
+                ncfg = ncfg.replace(kl_chunk=kc)
+        use_pallas = bool(self.cfg.nmf.use_pallas) and (
+            jax.default_backend() == "tpu" and single_shard
+            and jnp.dtype(ncfg.a_dtype) == jnp.dtype(ncfg.dtype)
+            and ncfg.dtype != jnp.float64)
+        use_fused = ncfg.use_fused
+        if use_fused is None:
+            use_fused = (jax.default_backend() == "tpu" and single_shard
+                         and ncfg.method.lower() == "mu"
+                         and ncfg.norm.lower() == "fro"
+                         and size_k <= 64  # (k,n) f32 VMEM accumulator
+                         and jnp.dtype(ncfg.a_dtype) == jnp.bfloat16)
+        use_fused = bool(use_fused) and single_shard
+        err_chunk = linalg.error_chunk_rows(A.shape[0], A.shape[1],
+                                            sharded=not single_shard)
+        return ncfg, use_pallas, use_fused, err_chunk
+
+    def _save_part(self, parts_dir, off, W_b, H_b, e_b, seed, tag):
+        if jax.process_count() > 1:
+            _save_ensemble_part_shards(parts_dir, off, W_b, H_b, e_b,
+                                       seed, tag, self.ctx)
+        elif is_proc0():
+            _save_ensemble_part(parts_dir, off, np.asarray(W_b),
+                                np.asarray(H_b), np.asarray(e_b), seed,
+                                tag)
 
     def _solve_ensemble(self, A, k):
         """Sample + factorize all perturbations; returns
@@ -836,40 +894,17 @@ class NMFk:
         n_pert = cfg.perturbations
         p_e = self.ctx.p_e
         sparse_A = linalg.is_sparse(A)
-        sh0 = getattr(A, "sharding", None)
-        if ncfg.norm.lower() == "kl" and not ncfg.kl_chunk and not sparse_A:
-            # KL memory safety for the batched path too: bound the per-
-            # member m x n ratio slab (models/nmf.solve applies the same
-            # policy on the non-batched path); done before batch sizing so
-            # the cost model sees the bounded slab, not a full-m U
-            kc = linalg.error_chunk_rows(
-                A.shape[0], A.shape[1],
-                sharded=getattr(sh0, "num_devices", 1) > 1)
-            if kc:
-                ncfg = ncfg.replace(kl_chunk=kc)
         # polyk sweep: members are K-padded, so memory/fused gating see K
         size_k = self._polyk_K or k
+        if sparse_A:
+            use_pallas = use_fused = False
+            err_chunk = 0
+        else:
+            ncfg, use_pallas, use_fused, err_chunk = self._dense_gating(
+                A, ncfg, size_k)
         batch = self._ensemble_batch_size(A, size_k, ncfg)
         key = jax.random.key(ncfg.seed)
         self.last_batch_size = batch
-
-        # batched-path pallas/fused gating (mirrors nmf.solve: TPU, single
-        # shard; vmapped Pallas is supported — measured 1.5x for the fused
-        # FRO bf16-A path, tools/batched_fused_probe.py)
-        sh = getattr(A, "sharding", None)
-        single_shard = getattr(sh, "num_devices", 1) <= 1
-        use_pallas = not sparse_A and bool(cfg.nmf.use_pallas) and (
-            jax.default_backend() == "tpu" and single_shard
-            and jnp.dtype(ncfg.a_dtype) == jnp.dtype(ncfg.dtype)
-            and ncfg.dtype != jnp.float64)
-        use_fused = ncfg.use_fused
-        if use_fused is None:
-            use_fused = (jax.default_backend() == "tpu" and single_shard
-                         and ncfg.method.lower() == "mu"
-                         and ncfg.norm.lower() == "fro"
-                         and size_k <= 64  # (k,n) f32 VMEM accumulator
-                         and jnp.dtype(ncfg.a_dtype) == jnp.bfloat16)
-        use_fused = bool(use_fused) and single_shard and not sparse_A
 
         parts_dir = os.path.join(self.results_path, str(k), "ensemble_parts")
         done, W_parts, H_parts, err_parts = 0, [], [], []
@@ -885,8 +920,6 @@ class NMFk:
                     _ensemble_cfg_tag(ncfg, cfg, bool(self._polyk_K)),
                     self.ctx)
 
-        err_chunk = linalg.error_chunk_rows(A.shape[0], A.shape[1],
-                                            sharded=not single_shard)
         import contextlib
         prec_ctx = (
             (lambda: jax.default_matmul_precision(ncfg.matmul_precision))
@@ -926,16 +959,17 @@ class NMFk:
                     # batched k-sweep: per-k init draws (tiny trace) feed
                     # the ONE K-padded solver program shared by every k
                     K = self._polyk_K
+                    midx = jnp.arange(b_pad) + done
                     init_prog = _ensemble_init_program(
-                        ncfg, b_pad, K, cfg.sampling, float(cfg.noise_var),
+                        ncfg, K, cfg.sampling, float(cfg.noise_var),
                         self.ctx, p_e > 1, cfg.seed_grid)
-                    W0, H0 = init_prog(A, key, done)
+                    W0, H0 = init_prog(A, key, midx)
                     kmask = jnp.broadcast_to(jnp.arange(K) < k, (b_pad, K))
                     program = _ensemble_program_polyk(
-                        ncfg.replace(k=K), b_pad, cfg.sampling,
+                        ncfg.replace(k=K), cfg.sampling,
                         float(cfg.noise_var), self.ctx, p_e > 1,
                         use_pallas, err_chunk, cfg.seed_grid, use_fused)
-                    W, H, errs = program(A, key, done, W0, H0, kmask)
+                    W, H, errs = program(A, key, midx, W0, H0, kmask)
                     if K > k:      # slice the padding back off
                         W = W[:, :, :k]
                         H = H[:, :k, :]
@@ -954,15 +988,9 @@ class NMFk:
             H_parts.append(H_b)
             err_parts.append(e_b)
             if cfg.checkpoint:
-                tag = _ensemble_cfg_tag(ncfg, cfg, bool(self._polyk_K))
-                if jax.process_count() > 1:
-                    _save_ensemble_part_shards(parts_dir, done, W_b, H_b,
-                                               e_b, ncfg.seed, tag,
-                                               self.ctx)
-                elif is_proc0():
-                    _save_ensemble_part(parts_dir, done, np.asarray(W_b),
-                                        np.asarray(H_b), np.asarray(e_b),
-                                        ncfg.seed, tag)
+                self._save_part(parts_dir, done, W_b, H_b, e_b, ncfg.seed,
+                                _ensemble_cfg_tag(ncfg, cfg,
+                                                  bool(self._polyk_K)))
             done += b
             self.checkpoint.save(FLAG_RUNNING, done, k, ncfg.seed)
         cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0))
@@ -972,9 +1000,148 @@ class NMFk:
                 host_local(cat(err_parts))[:n_pert])
 
     # ------------------------------------------------------------------
-    def pynmfk_per_k(self, A, k):
+    def _solve_ensembles_merged(self, A, ks):
+        """Yield (k, (W_all, H_all, errs)) in ascending k, packing members
+        of MULTIPLE ks into each batched program call — the final form of
+        the batched k-sweep (VERDICT r4 item 1): per-member indices plus
+        per-member column masks make the K-padded solver fully k-agnostic,
+        so one dispatch can run e.g. all of k=1..8's members at once.
+
+        Member noise is keyed by the per-k perturbation index
+        (sampler.member_keys_at), so every member's result is bitwise
+        identical to the sequential path regardless of how batches are
+        packed — and members of different ks share perturbed copies
+        exactly as the reference's seed=pert*1000 does across its k loop
+        (pyDNMFk.py:228).  Per-k resume parts are written as usual; at
+        most ceil(batch/perturbations)+1 ks are in flight at a time, so
+        clustering of a finished k runs (and its memory frees) while
+        later ks are still solving."""
+        cfg = self.cfg
+        K = self._polyk_K
+        n_pert = cfg.perturbations
+        p_e = self.ctx.p_e
+        key = jax.random.key(cfg.nmf.seed)
+        ncfg0, use_pallas, use_fused, err_chunk = self._dense_gating(
+            A, cfg.nmf.replace(k=K), K)
+        batch = self._ensemble_batch_size(A, K, ncfg0,
+                                          max_members=n_pert * len(ks))
+        self.last_batch_size = batch
+
+        st = (self.checkpoint.state or self.checkpoint.load()
+              ) if cfg.checkpoint else None
+        state = {}
+        chunks = []                         # (k, offset, length) to solve
+        for k in ks:
+            ncfg = ncfg0.replace(k=k)
+            tag = _ensemble_cfg_tag(ncfg, cfg, True)
+            pdir = os.path.join(self.results_path, str(k),
+                                "ensemble_parts")
+            done, Wp, Hp, ep = 0, [], [], []
+            if (cfg.checkpoint and st is not None
+                    and st.seed == ncfg.seed and st.flag < FLAG_SAVED):
+                done, Wp, Hp, ep = _load_ensemble_parts(
+                    pdir, n_pert, ncfg.seed, tag, self.ctx)
+            state[k] = dict(done=done, W=Wp, H=Hp, e=ep, ncfg=ncfg,
+                            tag=tag, dir=pdir)
+            off = done
+            while off < n_pert:
+                ln = min(batch, n_pert - off)
+                chunks.append((k, off, ln))
+                off += ln
+        # pack chunks into capacity-bounded super-batches, in k order
+        batches, cur, cur_n = [], [], 0
+        for ch in chunks:
+            if cur_n + ch[2] > batch and cur:
+                batches.append(cur)
+                cur, cur_n = [], 0
+            cur.append(ch)
+            cur_n += ch[2]
+        if cur:
+            batches.append(cur)
+
+        cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0))
+
+        def finish(k):
+            s = state.pop(k)
+            return (cat(s["W"])[:n_pert], cat(s["H"])[:n_pert],
+                    host_local(cat(s["e"]))[:n_pert])
+
+        pending = list(ks)
+        while pending and state[pending[0]]["done"] >= n_pert:
+            k = pending.pop(0)              # fully replayed from parts
+            yield k, finish(k)
+
+        import contextlib
+        prec_ctx = (
+            (lambda: jax.default_matmul_precision(ncfg0.matmul_precision))
+            if ncfg0.matmul_precision else contextlib.nullcontext)
+        for sb in batches:
+            program = _ensemble_program_polyk(      # lru-cached builder
+                ncfg0.replace(k=K), cfg.sampling, float(cfg.noise_var),
+                self.ctx, p_e > 1, use_pallas, err_chunk, cfg.seed_grid,
+                use_fused)
+            b = sum(ln for _, _, ln in sb)
+            b_pad = -(-b // p_e) * p_e
+            midx = np.concatenate(
+                [np.arange(off, off + ln) for _, off, ln in sb])
+            mask = np.zeros((b_pad, K), bool)
+            pos = 0
+            for k, off, ln in sb:
+                mask[pos:pos + ln, :k] = True
+                pos += ln
+            if b_pad > b:                   # padding members recompute the
+                midx = np.concatenate(      # last member; sliced off below
+                    [midx, np.full(b_pad - b, midx[-1], midx.dtype)])
+                mask[b:] = mask[b - 1]
+            midx = jnp.asarray(midx, jnp.int32)
+            kmask = jnp.asarray(mask)
+            with timing.timed("ensemble_solve"), prec_ctx():
+                W0s, H0s = [], []
+                for k, off, ln in sb:
+                    ip = _ensemble_init_program(
+                        state[k]["ncfg"], K, cfg.sampling,
+                        float(cfg.noise_var), self.ctx, p_e > 1,
+                        cfg.seed_grid)
+                    w0, h0 = ip(A, key, jnp.arange(off, off + ln))
+                    W0s.append(w0)
+                    H0s.append(h0)
+                if b_pad > b:
+                    W0s.append(jnp.broadcast_to(
+                        W0s[-1][-1:], (b_pad - b,) + W0s[-1].shape[1:]))
+                    H0s.append(jnp.broadcast_to(
+                        H0s[-1][-1:], (b_pad - b,) + H0s[-1].shape[1:]))
+                W, H, errs = program(A, key, midx, cat(W0s), cat(H0s),
+                                     kmask)
+            pos = 0
+            for k, off, ln in sb:
+                s = state[k]
+                s["W"].append(W[pos:pos + ln, :, :k])
+                s["H"].append(H[pos:pos + ln, :k, :])
+                s["e"].append(errs[pos:pos + ln])
+                pos += ln
+                if cfg.checkpoint:
+                    self._save_part(s["dir"], off, s["W"][-1], s["H"][-1],
+                                    s["e"][-1], s["ncfg"].seed, s["tag"])
+                s["done"] = off + ln
+            if cfg.checkpoint:
+                k_next = next((kk for kk in pending
+                               if state.get(kk, {}).get("done",
+                                                        n_pert) < n_pert),
+                              ks[-1])
+                self.checkpoint.save(
+                    FLAG_RUNNING,
+                    state[k_next]["done"] if k_next in state else n_pert,
+                    k_next, cfg.nmf.seed)
+            while pending and state[pending[0]]["done"] >= n_pert:
+                k = pending.pop(0)
+                yield k, finish(k)
+
+    # ------------------------------------------------------------------
+    def pynmfk_per_k(self, A, k, ensemble=None):
         """One k: ensemble -> clustering -> regression -> stats
-        (reference pynmfk_per_k, pyDNMFk.py:217-258)."""
+        (reference pynmfk_per_k, pyDNMFk.py:217-258).  ``ensemble``
+        supplies pre-solved (W_all, H_all, errs) from the merged
+        multi-k driver (_solve_ensembles_merged)."""
         cfg = self.cfg
         k_path = os.path.join(self.results_path, str(k))
         os.makedirs(k_path, exist_ok=True)
@@ -994,8 +1161,11 @@ class NMFk:
         # at flagship scale, written AND re-read per k) is gone
         # (VERDICT r4 item 8).
         seed = cfg.nmf.seed
-        with timing.timed("ensemble_solve"):
-            W_all, H_all, recon_errs = self._solve_ensemble(A, k)
+        if ensemble is not None:
+            W_all, H_all, recon_errs = ensemble
+        else:
+            with timing.timed("ensemble_solve"):
+                W_all, H_all, recon_errs = self._solve_ensemble(A, k)
         self.checkpoint.save(FLAG_PERTS_DONE, cfg.perturbations, k, seed)
 
         with timing.timed("clustering"):

@@ -32,7 +32,16 @@ NOISE_STREAM, W0_STREAM, H0_STREAM = 0, 1, 2
 
 def member_keys(key, offset, n: int):
     """Base PRNG keys for members [offset, offset+n) — global-index derived."""
-    idx = jnp.arange(n) + offset
+    return member_keys_at(key, jnp.arange(n) + offset)
+
+
+def member_keys_at(key, idx):
+    """Base PRNG keys for EXPLICIT member indices — the merged multi-k
+    ensemble batches members of several k values in one program, where
+    each member's index is its per-k perturbation number (so the noise a
+    member sees is identical across ks, exactly as the reference's
+    seed=pert*1000 reuses perturbed copies across its k loop,
+    pyDNMFk.py:228)."""
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
 
 

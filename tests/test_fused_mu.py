@@ -200,7 +200,7 @@ def test_fused_auto_dispatch_policy(monkeypatch):
 
     def spy(norm, method, itr, W_update, chunk, batched, use_pallas=False,
             use_fused=False, tol=0.0, tol_check_every=50, mesh=None,
-            err_chunk=0, finalize=True):
+            err_chunk=0, finalize=True, **kw):
         captured.update(norm=norm, chunk=chunk, use_fused=use_fused,
                         use_pallas=use_pallas, err_chunk=err_chunk)
         return real(norm, method, itr, W_update, chunk, batched, use_pallas,

@@ -107,6 +107,69 @@ def test_polyk_single_solver_trace(tmp_path):
     assert nmfk_mod._ensemble_init_program.cache_info().misses == 5
 
 
+def test_merged_sweep_matches_unmerged(tmp_path):
+    """Merged multi-k batches (members of several ks in one dispatch)
+    produce the same selection and per-k stats as one-k-per-batch: member
+    noise is keyed by the per-k perturbation index, so results are
+    invariant to batch packing."""
+    A = make_data()
+    base = NMFkConfig(
+        nmf=NMFConfig(k=0, grid=(1, 1), norm="fro", method="mu", itr=200,
+                      init="rand", seed=7),
+        start_k=2, end_k=5, perturbations=4, noise_var=0.03, sill_thr=0.6,
+        checkpoint=False, fname="A", ensemble_batch=16)  # 4 ks x 4 perts
+    m_m = NMFk(base.replace(results_path=str(tmp_path / "m") + "/"))
+    n_m = m_m.fit(A)
+    m_u = NMFk(base.replace(results_path=str(tmp_path / "u") + "/",
+                            k_sweep_merge=False))
+    n_u = m_u.fit(A)
+    assert n_m == n_u == 3
+    for k in range(2, 6):
+        np.testing.assert_allclose(
+            m_m.per_k_stats[k]["recon_err"],
+            m_u.per_k_stats[k]["recon_err"], rtol=1e-5)
+        np.testing.assert_allclose(
+            m_m.per_k_stats[k]["L_err"],
+            m_u.per_k_stats[k]["L_err"], rtol=1e-4, atol=1e-6)
+
+
+def test_merged_sweep_crash_resume(tmp_path, monkeypatch):
+    """A crash mid-sweep under the merged driver resumes from the per-k
+    ensemble parts without re-running any ensemble program."""
+    import os
+    from pydnmfk_tpu.models import nmfk as nmfk_mod
+    A = make_data()
+    cfg = NMFkConfig(
+        nmf=NMFConfig(k=0, grid=(1, 1), norm="fro", method="mu", itr=120,
+                      init="rand", seed=7),
+        start_k=2, end_k=4, perturbations=4, noise_var=0.03, sill_thr=0.6,
+        checkpoint=True, fname="A", results_path=str(tmp_path) + "/")
+    calls = {"n": 0}
+    orig = nmfk_mod.cluster_ensemble
+
+    def crashing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:               # k=3's clustering
+            raise RuntimeError("simulated preemption")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(nmfk_mod, "cluster_ensemble", crashing)
+    with pytest.raises(RuntimeError):
+        NMFk(cfg).fit(A)
+    monkeypatch.setattr(nmfk_mod, "cluster_ensemble", orig)
+    # parts for k=3 AND k=4 exist (merged batches ran ahead)
+    for k in (3, 4):
+        pdir = os.path.join(str(tmp_path), "A", str(k), "ensemble_parts")
+        assert os.listdir(pdir), k
+
+    def boom(*a, **kw):
+        raise AssertionError("ensemble recomputed on resume")
+    monkeypatch.setattr(nmfk_mod, "_ensemble_program_polyk", boom)
+    monkeypatch.setattr(nmfk_mod, "_ensemble_program", boom)
+    nopt = NMFk(cfg).fit(A)
+    assert nopt == 3
+
+
 def test_polyk_nnsvd_init(tmp_path):
     """nnsvd-init sweeps run the polyk path too (the wtsi golden
     configuration): per-k nnsvd init draws feed the shared solver."""
