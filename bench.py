@@ -378,8 +378,10 @@ def main():
                 "metric": "wtsi_sweep_8k_20pert_1000iter_e2e",
                 "value": round(dt_sweep, 2), "unit": "s",
                 "nopt": int(nopt),
-                "note": "batched-K sweep: one solver compile for all ks; "
-                        "reference 4-rank MPI: 183 s"})
+                "note": "merged batched-K sweep (one solver compile, "
+                        "multi-k dispatches); reference 4-rank MPI: "
+                        "183 s.  Wall-clock includes relay claim noise "
+                        "(docs/PERFORMANCE.md)"})
 
     headline["rows"] = rows
     print(json.dumps(headline))

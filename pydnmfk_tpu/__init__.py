@@ -13,7 +13,7 @@ from .models.nmf import NMF
 from .models.nmfk import NMFk
 from .runner import Runner
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "NMFConfig", "NMFkConfig", "GridContext", "grid_context",
