@@ -68,11 +68,21 @@ def greedy_assignment(dist):
     return perm
 
 
-def _cluster_loop(W_all, H_all, eps, n_iter=100):
+def _cluster_loop(W_all, H_all, eps, n_iter=100, active=None):
     """The 100-iteration alignment loop (reference :83-127).
-    Centroids restart from the (current) first perturbation slice."""
+    Centroids restart from the (current) first perturbation slice.
+
+    ``active`` (bool (K,)) marks the live columns of a K-padded ensemble
+    (the shared-trace k-sweep clustering): padded columns are exact
+    zeros, and the +2 bias on active x active similarities makes the
+    greedy assignment pick actives in exactly the unpadded order (all
+    similarities of L2-normalized nonneg columns lie in [0, 1], so
+    biased actives in [2, 3] always dominate; leftover padded columns
+    pair among themselves and are sliced off by the caller)."""
     p = W_all.shape[0]
     centroids = W_all[0]
+    bias = (None if active is None else
+            2.0 * jnp.outer(active, active).astype(jnp.float32))
 
     def one_iter(_, state):
         W_all, H_all, centroids = state
@@ -82,6 +92,8 @@ def _cluster_loop(W_all, H_all, eps, n_iter=100):
             Wp = lax.dynamic_index_in_dim(W_all, i, 0, keepdims=False)
             Hp = lax.dynamic_index_in_dim(H_all, i, 0, keepdims=False)
             dist = linalg.matmul(centroids.T, Wp)        # (k,k), psum over 'r'
+            if bias is not None:
+                dist = dist.astype(jnp.float32) + bias
             perm = greedy_assignment(dist)
             W_all = lax.dynamic_update_index_in_dim(
                 W_all, jnp.take(Wp, perm, axis=1), i, 0)
@@ -125,21 +137,31 @@ def _mad(data, axis=-1):
 
 
 @partial(jax.jit, static_argnames=("n_iter",))
-def _fit_impl(W_all, H_all, eps, n_iter=100):
+def _fit_impl(W_all, H_all, eps, n_iter=100, active=None):
     W_all, H_all = normalize_by_w(W_all, H_all, eps)
     # first clustering pass (reference fit -> dist_custom_clustering)
-    W_all, H_all, centroids = _cluster_loop(W_all, H_all, eps, n_iter)
+    W_all, H_all, centroids = _cluster_loop(W_all, H_all, eps, n_iter,
+                                            active)
     cent_std = _mad(jnp.moveaxis(W_all, 0, -1), axis=-1)      # (m, k)
     # second pass inside dist_silhouettes (reference :140) — centroids reset
-    W_all2, H_all2, _ = _cluster_loop(W_all, H_all, eps, n_iter)
+    W_all2, H_all2, _ = _cluster_loop(W_all, H_all, eps, n_iter, active)
+    # K-padded sweeps: padded clusters sit at the maximum possible
+    # distance (arccos(0) = pi/2 >= every distance between nonneg
+    # normalized columns), so active clusters' silhouettes are EXACT —
+    # the caller slices off the padded rows
     sils = _silhouettes(W_all2)                               # (k, p)
     return centroids, cent_std, H_all2, sils
 
 
 class CustomClustering:
-    """API mirror of reference custom_clustering.fit (:162-188)."""
+    """API mirror of reference custom_clustering.fit (:162-188).
 
-    def __init__(self, W_all, H_all, eps: float, n_iter: int = 100):
+    ``active`` (bool (K,)) marks live columns of a K-padded ensemble —
+    the k-sweep's shared-trace clustering (see _cluster_loop); stats are
+    computed over the active rows only and the caller slices factors."""
+
+    def __init__(self, W_all, H_all, eps: float, n_iter: int = 100,
+                 active=None):
         """W_all: (p, m, k); H_all: (p, k, n) — leading perturbation axis
         (use ``jnp.moveaxis(x, -1, 0)`` to convert the reference's
         (m, k, p) / (k, n, p) layout)."""
@@ -155,16 +177,26 @@ class CustomClustering:
         self.H_all = H_all
         self.eps = eps
         self.n_iter = n_iter
+        self.active = active
 
     def fit(self):
         """Returns (centroids (m,k), cent_std (m,k), H_all (p,k,n),
         cluster_sils (k,), avg_sil (scalar), sils (k,p))."""
         centroids, cent_std, H_all, sils = _fit_impl(
-            self.W_all, self.H_all, jnp.float32(self.eps), self.n_iter)
+            self.W_all, self.H_all, jnp.float32(self.eps), self.n_iter,
+            self.active)
+        if self.active is not None:
+            # stats over the live clusters only (padded rows are inert
+            # in the clustering but their sils are meaningless)
+            w = self.active.astype(sils.dtype)
+            n_act = jnp.sum(w)
+            cluster_sils = jnp.sum(sils * w[:, None], axis=1) / sils.shape[1]
+            avg_sil = jnp.sum(sils * w[:, None]) / (n_act * sils.shape[1])
+            return centroids, cent_std, H_all, cluster_sils, avg_sil, sils
         cluster_sils = jnp.mean(sils, axis=1)
         avg_sil = jnp.mean(sils)
         return centroids, cent_std, H_all, cluster_sils, avg_sil, sils
 
 
-def cluster_ensemble(W_all, H_all, eps, n_iter=100):
-    return CustomClustering(W_all, H_all, eps, n_iter).fit()
+def cluster_ensemble(W_all, H_all, eps, n_iter=100, active=None):
+    return CustomClustering(W_all, H_all, eps, n_iter, active).fit()

@@ -167,10 +167,15 @@ def _jitted_solver(norm, method, itr, W_update, chunk, batched,
 
 
 def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
-          batched: bool = False, finalize: bool = True):
+          batched: bool = False, finalize: bool = True, col_mask=None):
     """Run the full iteration loop.  ``batched=True`` maps over a leading
     ensemble axis of A/W/H (the reference's serial perturbation loop,
-    pyDNMFk.py:226-231, becomes one compiled batch)."""
+    pyDNMFk.py:226-231, becomes one compiled batch).  ``col_mask``
+    (bool (K,), non-batched only) marks the active columns of a
+    K-padded solve (see _solve)."""
+    if batched and col_mask is not None:
+        raise ValueError("col_mask applies to non-batched solves (the "
+                         "batched path uses _jitted_solver(masked=True))")
     if linalg.is_sparse(A):
         from ..ops.sparse import densify_for_backend
         # TPU: dense MXU vs ELL gather, picked by the measured cost model
@@ -248,12 +253,13 @@ def solve(A, W, H, eps, cfg: NMFConfig, W_update: Optional[bool] = None,
                         int(cfg.tol_check_every), mesh, err_chunk,
                         bool(finalize), cfg.bcd_obj or "gram",
                         hals_block=cfg.hals_block)
+    args = (A, W, H, eps) if col_mask is None else (A, W, H, eps, col_mask)
     if cfg.matmul_precision:
         # dot-operand precision (config.py): the context participates in
         # the jit cache key, so default/highest variants coexist
         with jax.default_matmul_precision(cfg.matmul_precision):
-            return fn(A, W, H, eps)
-    return fn(A, W, H, eps)
+            return fn(*args)
+    return fn(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -332,13 +338,15 @@ class NMF:
         return W, H
 
     def fit(self, A, factors: Optional[Tuple] = None, key=None,
-            orig_shape: Optional[Tuple[int, int]] = None):
+            orig_shape: Optional[Tuple[int, int]] = None, col_mask=None):
         """Returns (W, H, recon_err) as the reference PyNMF.fit does
         (pyDNMF.py:137-182).
 
         ``orig_shape`` declares the true global dims when A arrives already
         zero-padded to the mesh tiling (DataReader ``pad_to_mesh=True``);
-        the returned factors are sliced back to it."""
+        the returned factors are sliced back to it.  ``col_mask`` (bool
+        (K,)) marks active columns of K-padded factors (the k-sweep's
+        shared-trace regression refit — models/nmfk.py)."""
         cfg = self.cfg
         if linalg.is_sparse(A):
             from ..ops.sparse import densify_for_backend
@@ -475,9 +483,12 @@ class NMF:
         eps = jnp.asarray(cfg.eps, dtype=cfg.dtype)
         with timing.timed("solve"):
             if cfg.solve_checkpoint_every > 0:
+                if col_mask is not None:
+                    raise ValueError("col_mask is incompatible with "
+                                     "solve_checkpoint_every")
                 W, H, err = self._solve_checkpointed(A, W, H, eps)
             else:
-                W, H, err = solve(A, W, H, eps, cfg)
+                W, H, err = solve(A, W, H, eps, cfg, col_mask=col_mask)
             W, H, err = jax.block_until_ready((W, H, err))
         self.recon_err = float(err)
         # (possibly padded) views for column_err; _valid_n masks padding

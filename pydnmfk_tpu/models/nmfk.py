@@ -1168,9 +1168,26 @@ class NMFk:
                 W_all, H_all, recon_errs = self._solve_ensemble(A, k)
         self.checkpoint.save(FLAG_PERTS_DONE, cfg.perturbations, k, seed)
 
+        # shared-trace clustering for the k-sweep: pad the ensemble back
+        # to K columns with the active mask, so EVERY k runs the same
+        # compiled _fit_impl (padded clusters are provably inert for
+        # nonneg factors — models/clustering.py; k=1 keeps its special
+        # case and runs unpadded)
+        K = self._polyk_K
+        pad_cluster = K is not None and 1 < k < K
         with timing.timed("clustering"):
-            (centroids, cent_std, H_all_c, cluster_sils, avg_sil,
-             _sils) = cluster_ensemble(W_all, H_all, cfg.nmf.eps)
+            if pad_cluster:
+                Wc = jnp.pad(W_all, ((0, 0), (0, 0), (0, K - k)))
+                Hc = jnp.pad(H_all, ((0, 0), (0, K - k), (0, 0)))
+                (centroids, cent_std, H_all_c, cluster_sils, avg_sil,
+                 _sils) = cluster_ensemble(Wc, Hc, cfg.nmf.eps,
+                                           active=jnp.arange(K) < k)
+                centroids = centroids[:, :k]
+                H_all_c = H_all_c[:, :k, :]
+                cluster_sils = cluster_sils[:k]
+            else:
+                (centroids, cent_std, H_all_c, cluster_sils, avg_sil,
+                 _sils) = cluster_ensemble(W_all, H_all, cfg.nmf.eps)
         self.checkpoint.save(FLAG_CLUSTERED, cfg.perturbations, k, seed)
 
         m, n = self._work_shape      # post-prune, pre-mesh-pad coordinates
@@ -1182,11 +1199,24 @@ class NMFk:
         AvgH = jnp.median(H_all_c, axis=0)[:, :n]
 
         # regression re-fit of H with W frozen (pyDNMFk.py:245-248); A is
-        # already pruned at the pipeline level, so the fit must not re-prune
-        reg_cfg = cfg.nmf.replace(k=k, W_update=False, prune=False)
-        reg = NMF(reg_cfg, self.ctx)
+        # already pruned at the pipeline level, so the fit must not re-prune.
+        # On the k-sweep the refit runs K-padded with the column mask, so
+        # its solver program is also shared across ks.
         A_reg = A[:m, :n] if A.shape != (m, n) else A
-        AvgW, AvgH, L_errDist = reg.fit(A_reg, factors=(AvgW, AvgH))
+        if K is not None and k < K:
+            reg_cfg = cfg.nmf.replace(k=K, W_update=False, prune=False)
+            reg = NMF(reg_cfg, self.ctx)
+            AvgW = jnp.pad(AvgW, ((0, 0), (0, K - k)))
+            AvgH = jnp.pad(AvgH, ((0, K - k), (0, 0)))
+            AvgW, AvgH, L_errDist = reg.fit(
+                A_reg, factors=(AvgW, AvgH),
+                col_mask=jnp.arange(K) < k)
+            AvgW = AvgW[:, :k]
+            AvgH = AvgH[:k, :]
+        else:
+            reg_cfg = cfg.nmf.replace(k=k, W_update=False, prune=False)
+            reg = NMF(reg_cfg, self.ctx)
+            AvgW, AvgH, L_errDist = reg.fit(A_reg, factors=(AvgW, AvgH))
         col_err = reg.column_err()
         m0, n0 = self._orig_shape    # reference AIC uses the unpruned
         # global dims (computed before prune, pyDNMF.py:88 vs :99-101)

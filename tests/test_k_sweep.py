@@ -89,6 +89,32 @@ def test_polyk_sweep_matches_per_k(tmp_path):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_padded_clustering_matches_unpadded():
+    """K-padded clustering with an active mask == unpadded clustering of
+    the active columns (models/clustering.py: padded zero-clusters are
+    provably inert for nonneg factors; the greedy bias preserves the
+    active assignment order)."""
+    import jax.numpy as jnp
+    from pydnmfk_tpu.models.clustering import cluster_ensemble
+    rng = np.random.default_rng(5)
+    p, m, n, k, K = 6, 40, 25, 4, 9
+    W_all = jnp.asarray(rng.random((p, m, k)), jnp.float32)
+    H_all = jnp.asarray(rng.random((p, k, n)), jnp.float32)
+    eps = np.float32(1.19e-7)
+    cu, su, Hu, csu, au, _ = cluster_ensemble(W_all, H_all, eps)
+    Wp = jnp.pad(W_all, ((0, 0), (0, 0), (0, K - k)))
+    Hp = jnp.pad(H_all, ((0, 0), (0, K - k), (0, 0)))
+    cp, sp, Hpc, csp, ap, _ = cluster_ensemble(
+        Wp, Hp, eps, active=jnp.arange(K) < k)
+    np.testing.assert_allclose(np.asarray(cp[:, :k]), np.asarray(cu),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Hpc[:, :k, :]), np.asarray(Hu),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(csp[:k]), np.asarray(csu),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ap), float(au), rtol=1e-5)
+
+
 def test_polyk_single_solver_trace(tmp_path):
     """The sweep compiles the solver program ONCE (the round-4 build
     re-traced it per k — the dominant TPU sweep cost)."""
