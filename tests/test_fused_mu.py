@@ -199,13 +199,13 @@ def test_fused_auto_dispatch_policy(monkeypatch):
     real = nmf_mod._jitted_solver
 
     def spy(norm, method, itr, W_update, chunk, batched, use_pallas=False,
-            use_fused=False, tol=0.0, tol_check_every=50, mesh=None,
-            err_chunk=0, finalize=True, **kw):
+            use_fused=False, *args, **kw):
         captured.update(norm=norm, chunk=chunk, use_fused=use_fused,
-                        use_pallas=use_pallas, err_chunk=err_chunk)
-        return real(norm, method, itr, W_update, chunk, batched, use_pallas,
-                    use_fused, tol, tol_check_every, mesh, err_chunk,
-                    finalize)
+                        use_pallas=use_pallas,
+                        err_chunk=(args[3] if len(args) > 3
+                                   else kw.get("err_chunk", 0)))
+        return real(norm, method, itr, W_update, chunk, batched,
+                    use_pallas, use_fused, *args, **kw)
 
     monkeypatch.setattr(nmf_mod, "_jitted_solver", spy)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
