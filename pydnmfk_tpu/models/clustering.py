@@ -80,15 +80,17 @@ def _cluster_loop(W_all, H_all, eps, n_iter=100, active=None):
     biased actives in [2, 3] always dominate; leftover padded columns
     pair among themselves and are sliced off by the caller)."""
     p = W_all.shape[0]
+    k = W_all.shape[2]
     centroids = W_all[0]
     bias = (None if active is None else
             2.0 * jnp.outer(active, active).astype(jnp.float32))
+    ident = jnp.arange(k, dtype=jnp.int32)
 
-    def one_iter(_, state):
-        W_all, H_all, centroids = state
+    def one_iter(state):
+        it, W_all, H_all, centroids, _ = state
 
         def one_pert(i, carry):
-            W_all, H_all = carry
+            W_all, H_all, moved = carry
             Wp = lax.dynamic_index_in_dim(W_all, i, 0, keepdims=False)
             Hp = lax.dynamic_index_in_dim(H_all, i, 0, keepdims=False)
             dist = linalg.matmul(centroids.T, Wp)        # (k,k), psum over 'r'
@@ -99,16 +101,34 @@ def _cluster_loop(W_all, H_all, eps, n_iter=100, active=None):
                 W_all, jnp.take(Wp, perm, axis=1), i, 0)
             H_all = lax.dynamic_update_index_in_dim(
                 H_all, jnp.take(Hp, perm, axis=0), i, 0)
-            return W_all, H_all
+            return W_all, H_all, moved | jnp.any(perm != ident)
 
-        W_all, H_all = lax.fori_loop(0, p, one_pert, (W_all, H_all))
+        W_all, H_all, moved = lax.fori_loop(
+            0, p, one_pert, (W_all, H_all, jnp.asarray(False)))
         centroids = jnp.median(W_all, axis=0)
         cn = jnp.sqrt(jnp.sum(jnp.square(centroids.astype(jnp.float32)),
                               axis=0) + eps)
         centroids = centroids / cn.astype(centroids.dtype)
-        return W_all, H_all, centroids
+        return it + 1, W_all, H_all, centroids, moved
 
-    return lax.fori_loop(0, n_iter, one_iter, (W_all, H_all, centroids))
+    # EXACT early exit at the reference's fixed point: from iteration 1 on
+    # the incoming centroids are the median of the CURRENT (W_all, H_all),
+    # so an all-identity iteration leaves the whole state unchanged and
+    # every remaining iteration of the reference's fixed 100 (:114) is
+    # the identity map — stopping there is bitwise equal to running them
+    # all.  Iteration 0's centroids are W_all[0] (:109), not the median,
+    # so an identity iteration 0 does NOT yet imply a fixed point — the
+    # `it <= 1` term always runs iterations 0 and 1.
+    def cond(state):
+        it, _, _, _, moved = state
+        return jnp.logical_and(it < n_iter,
+                               jnp.logical_or(moved, it <= 1))
+
+    _, W_all, H_all, centroids, _ = lax.while_loop(
+        cond, one_iter,
+        (jnp.asarray(0, jnp.int32), W_all, H_all, centroids,
+         jnp.asarray(True)))
+    return W_all, H_all, centroids
 
 
 def _silhouettes(W_all):

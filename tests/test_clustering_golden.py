@@ -59,3 +59,56 @@ def test_single_k_silhouettes_are_ones():
     Hb = rng.random((4, 1, 5))
     *_, avg_sil, sils = cluster_ensemble(Wb, Hb, 1e-16)
     np.testing.assert_allclose(np.asarray(sils), 1.0)
+
+
+def test_early_exit_matches_fixed_100_iterations():
+    """The alignment loop's fixed-point early exit (models/clustering.py)
+    is BITWISE equal to the reference's fixed 100 iterations: once an
+    iteration with median-derived centroids applies only identity
+    permutations, all remaining iterations are the identity map."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from pydnmfk_tpu.models.clustering import (_cluster_loop,
+                                               greedy_assignment)
+    from pydnmfk_tpu.ops import linalg
+
+    def fixed_loop(W_all, H_all, eps, n_iter=100):
+        # the reference-shaped loop: exactly n_iter iterations, no exit
+        p = W_all.shape[0]
+        centroids = W_all[0]
+
+        def one_iter(_, state):
+            W_all, H_all, centroids = state
+
+            def one_pert(i, carry):
+                W_all, H_all = carry
+                Wp = lax.dynamic_index_in_dim(W_all, i, 0, keepdims=False)
+                Hp = lax.dynamic_index_in_dim(H_all, i, 0, keepdims=False)
+                perm = greedy_assignment(linalg.matmul(centroids.T, Wp))
+                W_all = lax.dynamic_update_index_in_dim(
+                    W_all, jnp.take(Wp, perm, axis=1), i, 0)
+                H_all = lax.dynamic_update_index_in_dim(
+                    H_all, jnp.take(Hp, perm, axis=0), i, 0)
+                return W_all, H_all
+
+            W_all, H_all = lax.fori_loop(0, p, one_pert, (W_all, H_all))
+            centroids = jnp.median(W_all, axis=0)
+            cn = jnp.sqrt(jnp.sum(
+                jnp.square(centroids.astype(jnp.float32)), axis=0) + eps)
+            return W_all, H_all, centroids / cn.astype(centroids.dtype)
+
+        return lax.fori_loop(0, n_iter, one_iter, (W_all, H_all, centroids))
+
+    rng = np.random.default_rng(11)
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        W_all = jnp.asarray(rng.random((5, 30, 4)), jnp.float32)
+        H_all = jnp.asarray(rng.random((5, 4, 20)), jnp.float32)
+        eps = jnp.float32(1.19e-7)
+        Wf, Hf, cf = jax.jit(fixed_loop)(W_all, H_all, eps)
+        We, He, ce = jax.jit(_cluster_loop)(W_all, H_all, eps)
+        np.testing.assert_array_equal(np.asarray(We), np.asarray(Wf))
+        np.testing.assert_array_equal(np.asarray(He), np.asarray(Hf))
+        np.testing.assert_array_equal(np.asarray(ce), np.asarray(cf))
