@@ -165,6 +165,25 @@ def _ensemble_init_program(ncfg: NMFConfig, K: int,
     return jax.jit(program)
 
 
+@functools.lru_cache(maxsize=64)
+def _ensemble_init_rand_program(ncfg: NMFConfig, K: int, m: int, n: int,
+                                ctx: GridContext, shard_batch: bool):
+    """Rand-only member-init program for SPARSE k-sweeps: same streams
+    as _draw_init_factors (bitwise the draws the sparse programs used to
+    make internally), zero-padded to K columns."""
+
+    def program(key, midx):
+        keys = sampler.member_keys_at(key, midx)
+        W0, H0 = _draw_init_factors(ncfg, keys, None, None, m, n)
+        k = ncfg.k
+        if K > k:
+            W0 = jnp.pad(W0, ((0, 0), (0, 0), (0, K - k)))
+            H0 = jnp.pad(H0, ((0, 0), (0, K - k), (0, 0)))
+        return W0, H0
+
+    return jax.jit(program)
+
+
 @functools.lru_cache(maxsize=32)
 def _ensemble_program_polyk(ncfg: NMFConfig, sampling: str,
                             noise_var: float, ctx: GridContext,
@@ -222,21 +241,14 @@ def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
     cross-device collectives); grid ('r','c') sharding lives in
     _ensemble_program_sparse_grid."""
     from jax.experimental import sparse as jsparse
-    k = ncfg.k
 
-    def program(data, indices, key, offset):
-        keys = sampler.member_keys(key, offset, b_pad)
+    def program(data, indices, key, midx, W0, H0, kmask):
+        keys = sampler.member_keys_at(key, midx)
         data_ens = jax.vmap(lambda kk: sampler.sample_member(
             data, sampler.member_noise_key(kk), noise_var,
             sampling))(keys)
         if data_ens.dtype != jnp.dtype(ncfg.a_dtype):
             data_ens = data_ens.astype(ncfg.a_dtype)
-        W0 = jax.vmap(lambda kk: jax.random.uniform(
-            jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
-            jnp.float32))(keys).astype(ncfg.dtype)
-        H0 = jax.vmap(lambda kk: jax.random.uniform(
-            jax.random.fold_in(kk, sampler.H0_STREAM), (k, n),
-            jnp.float32))(keys).astype(ncfg.dtype)
         if shard_batch:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import ENSEMBLE_AXIS
@@ -249,17 +261,17 @@ def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
                 H0, sh(P(ENSEMBLE_AXIS, None, None)))
         eps = jnp.asarray(ncfg.eps, ncfg.dtype)
 
-        def member(d, w0, h0):
+        def member(d, w0, h0, km):
             Am = jsparse.BCOO((d, indices), shape=(m, n),
                               unique_indices=True)
             return nmf_mod._solve(
-                Am, w0, h0, eps, norm=ncfg.norm.lower(),
+                Am, w0, h0, eps, km, norm=ncfg.norm.lower(),
                 method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
                 chunk=0, tol=float(ncfg.tol),
                 tol_check_every=int(ncfg.tol_check_every),
                 hals_block=ncfg.hals_block)
 
-        return jax.vmap(member)(data_ens, W0, H0)
+        return jax.vmap(member)(data_ens, W0, H0, kmask)
 
     return jax.jit(program)
 
@@ -275,12 +287,11 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
     then vmap through _solve — every ELL product is take + einsum with a
     trivial batching rule."""
     from ..ops.ell import EllSparse
-    k = ncfg.k
 
     def program(data_flat, E_tpl, rperm, cperm, rtail_perm, ctail_perm,
-                key, offset):
+                key, midx, W0, H0, kmask):
         nnz = data_flat.shape[0]
-        keys = sampler.member_keys(key, offset, b_pad)
+        keys = sampler.member_keys_at(key, midx)
         d_ens = jax.vmap(lambda kk: sampler.sample_member(
             data_flat, sampler.member_noise_key(kk), noise_var,
             sampling))(keys)                          # (b, nnz)
@@ -296,20 +307,14 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
         cvals_b = jax.vmap(lambda f: orient(f, cperm))(d_ens)
         rtail_b = jax.vmap(lambda f: f[rtail_perm])(d_ens)
         ctail_b = jax.vmap(lambda f: f[ctail_perm])(d_ens)
-        W0 = jax.vmap(lambda kk: jax.random.uniform(
-            jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
-            jnp.float32))(keys).astype(ncfg.dtype)
-        H0 = jax.vmap(lambda kk: jax.random.uniform(
-            jax.random.fold_in(kk, sampler.H0_STREAM), (k, n),
-            jnp.float32))(keys).astype(ncfg.dtype)
         eps = jnp.asarray(ncfg.eps, ncfg.dtype)
 
-        def member(rv, rtd, cv, ctd, w0, h0):
+        def member(rv, rtd, cv, ctd, w0, h0, km):
             Am = EllSparse(rv, E_tpl.rcols, rtd, E_tpl.rtail_r,
                            E_tpl.rtail_c, cv, E_tpl.crows, ctd,
                            E_tpl.ctail_r, E_tpl.ctail_c, (m, n), nnz)
             return nmf_mod._solve(
-                Am, w0, h0, eps, norm=ncfg.norm.lower(),
+                Am, w0, h0, eps, km, norm=ncfg.norm.lower(),
                 method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
                 chunk=0, tol=float(ncfg.tol),
                 tol_check_every=int(ncfg.tol_check_every),
@@ -318,7 +323,7 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
         from ..ops.ell import ell_pallas_disabled
         with ell_pallas_disabled():      # vmapped pallas_call: XLA path
             return jax.vmap(member)(rvals_b, rtail_b, cvals_b, ctail_b,
-                                    W0, H0)
+                                    W0, H0, kmask)
 
     return jax.jit(program)
 
@@ -338,13 +343,12 @@ def _ensemble_program_sparse_grid_ell(ncfg: NMFConfig, b_pad: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..ops.ell import GridEllSparse, ell_pallas_disabled
     from ..parallel.mesh import COL_AXIS, ENSEMBLE_AXIS, ROW_AXIS
-    k = ncfg.k
     e_ax = ENSEMBLE_AXIS if ctx.p_e > 1 else None
 
     def program(data_flat, E_tpl, rperm, cperm, rtperm, ctperm, key,
-                offset):
+                midx, W0, H0, kmask):
         nnz = data_flat.shape[0]
-        keys = sampler.member_keys(key, offset, b_pad)
+        keys = sampler.member_keys_at(key, midx)
         d_ens = jax.vmap(lambda kk: sampler.sample_member(
             data_flat, sampler.member_noise_key(kk), noise_var,
             sampling))(keys)                          # (b, nnz)
@@ -364,12 +368,6 @@ def _ensemble_program_sparse_grid_ell(ncfg: NMFConfig, b_pad: int,
         cv_b = cstr(jax.vmap(lambda f: orient(f, cperm))(d_ens), blk4)
         rt_b = cstr(jax.vmap(lambda f: orient(f, rtperm))(d_ens), blk3)
         ct_b = cstr(jax.vmap(lambda f: orient(f, ctperm))(d_ens), blk3)
-        W0 = jax.vmap(lambda kk: jax.random.uniform(
-            jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
-            jnp.float32))(keys).astype(ncfg.dtype)
-        H0 = jax.vmap(lambda kk: jax.random.uniform(
-            jax.random.fold_in(kk, sampler.H0_STREAM), (k, n),
-            jnp.float32))(keys).astype(ncfg.dtype)
         m_pad, n_pad = E_tpl.shape
         if m_pad != m:
             W0 = jnp.pad(W0, ((0, 0), (0, m_pad - m), (0, 0)))
@@ -379,13 +377,13 @@ def _ensemble_program_sparse_grid_ell(ncfg: NMFConfig, b_pad: int,
         H0 = cstr(H0, sh(P(e_ax, None, COL_AXIS)))
         eps = jnp.asarray(ncfg.eps, ncfg.dtype)
 
-        def member(rv, rt, cv, ct, w0, h0):
+        def member(rv, rt, cv, ct, w0, h0, km):
             Am = GridEllSparse(rv, E_tpl.rcols, rt, E_tpl.rtail_r,
                                E_tpl.rtail_c, cv, E_tpl.crows, ct,
                                E_tpl.ctail_r, E_tpl.ctail_c,
                                E_tpl.shape, E_tpl.block, nnz, E_tpl.mesh)
             return nmf_mod._solve(
-                Am, w0, h0, eps, norm=ncfg.norm.lower(),
+                Am, w0, h0, eps, km, norm=ncfg.norm.lower(),
                 method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
                 chunk=0, tol=float(ncfg.tol),
                 tol_check_every=int(ncfg.tol_check_every),
@@ -393,7 +391,7 @@ def _ensemble_program_sparse_grid_ell(ncfg: NMFConfig, b_pad: int,
 
         with ell_pallas_disabled():      # vmapped pallas_call: XLA path
             return jax.vmap(member, spmd_axis_name=e_ax)(
-                rv_b, rt_b, cv_b, ct_b, W0, H0)
+                rv_b, rt_b, cv_b, ct_b, W0, H0, kmask)
 
     return jax.jit(program)
 
@@ -422,13 +420,12 @@ def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..ops.sparse import GridShardedSparse
     from ..parallel.mesh import COL_AXIS, ENSEMBLE_AXIS, ROW_AXIS
-    k = ncfg.k
     p_r, p_c = ctx.shape
     e_ax = ENSEMBLE_AXIS if ctx.p_e > 1 else None
 
-    def program(data_flat, perm, lrows, lcols, key, offset):
+    def program(data_flat, perm, lrows, lcols, key, midx, W0, H0, kmask):
         nnz = data_flat.shape[0]
-        keys = sampler.member_keys(key, offset, b_pad)
+        keys = sampler.member_keys_at(key, midx)
         d_ens = jax.vmap(lambda kk: sampler.sample_member(
             data_flat, sampler.member_noise_key(kk), noise_var,
             sampling))(keys)                          # (b, nnz)
@@ -442,12 +439,6 @@ def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
         sh = lambda spec: NamedSharding(ctx.mesh, spec)
         d_blocks = jax.lax.with_sharding_constraint(
             d_blocks, sh(P(e_ax, ROW_AXIS, COL_AXIS, None)))
-        W0 = jax.vmap(lambda kk: jax.random.uniform(
-            jax.random.fold_in(kk, sampler.W0_STREAM), (m, k),
-            jnp.float32))(keys).astype(ncfg.dtype)
-        H0 = jax.vmap(lambda kk: jax.random.uniform(
-            jax.random.fold_in(kk, sampler.H0_STREAM), (k, n),
-            jnp.float32))(keys).astype(ncfg.dtype)
         if m_pad != m:
             W0 = jnp.pad(W0, ((0, 0), (0, m_pad - m), (0, 0)))
         if n_pad != n:
@@ -458,17 +449,18 @@ def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
             H0, sh(P(e_ax, None, COL_AXIS)))
         eps = jnp.asarray(ncfg.eps, ncfg.dtype)
 
-        def member(d, w0, h0):
+        def member(d, w0, h0, km):
             Am = GridShardedSparse(d, lrows, lcols, (m_pad, n_pad),
                                    (m_pad // p_r, n_pad // p_c), ctx.mesh)
             return nmf_mod._solve(
-                Am, w0, h0, eps, norm=ncfg.norm.lower(),
+                Am, w0, h0, eps, km, norm=ncfg.norm.lower(),
                 method=ncfg.method.lower(), itr=ncfg.itr, W_update=True,
                 chunk=0, tol=float(ncfg.tol),
                 tol_check_every=int(ncfg.tol_check_every),
                 hals_block=ncfg.hals_block)
 
-        return jax.vmap(member, spmd_axis_name=e_ax)(d_blocks, W0, H0)
+        return jax.vmap(member, spmd_axis_name=e_ax)(d_blocks, W0, H0,
+                                                     kmask)
 
     return jax.jit(program)
 
@@ -775,15 +767,14 @@ class NMFk:
         # batched k-sweep (VERDICT r4 item 1): dense sweeps share ONE
         # K-padded solver program across every k (auto unless disabled)
         use_polyk = (cfg.k_sweep_batch if cfg.k_sweep_batch is not None
-                     else not self._sparse)
-        if use_polyk and self._sparse:
-            raise ValueError("k_sweep_batch applies to dense A only (the "
-                             "sparse ensemble programs are per-format)")
+                     else True)
         self._polyk_K = max(cfg.k_range) if use_polyk else None
 
         start_k = self.checkpoint.resume_k(cfg.start_k, cfg.step_k)
         ks = list(range(start_k, cfg.end_k + 1, cfg.step_k))
         merge = (self._polyk_K is not None and len(ks) > 1
+                 and not self._sparse    # sparse sweeps: shared program,
+                                         # per-k batches (ROADMAP)
                  and (cfg.k_sweep_merge if cfg.k_sweep_merge is not None
                       else True))
         if merge:
@@ -928,33 +919,51 @@ class NMFk:
             b = min(batch, n_pert - done)
             b_pad = -(-b // p_e) * p_e
             with prec_ctx():
+                if sparse_A:
+                    # sparse sweeps share ONE K-padded program per format
+                    # (VERDICT r4 item 1 extended to sparse): per-k rand
+                    # init draws + per-member column masks, exactly like
+                    # the dense polyk path.  K == k when the batched
+                    # sweep is off — then this is the per-k trace.
+                    K = self._polyk_K or k
+                    midx = jnp.arange(b_pad) + done
+                    init_prog = _ensemble_init_rand_program(
+                        ncfg, K, A.shape[0], A.shape[1], self.ctx,
+                        p_e > 1)
+                    W0, H0 = init_prog(key, midx)
+                    kmask = jnp.broadcast_to(jnp.arange(K) < k,
+                                             (b_pad, K))
+                    ncfg_K = ncfg.replace(k=K)
                 if sparse_A and self._grid_ell is not None:
                     E, rperm, cperm, rtperm, ctperm = self._grid_ell
                     program = _ensemble_program_sparse_grid_ell(
-                        ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                        ncfg_K, b_pad, cfg.sampling, float(cfg.noise_var),
                         self.ctx, A.shape[0], A.shape[1])
                     W, H, errs = program(A.data, E, rperm, cperm,
-                                         rtperm, ctperm, key, done)
+                                         rtperm, ctperm, key, midx,
+                                         W0, H0, kmask)
                 elif sparse_A and self._grid_sparse is not None:
                     gs, perm = self._grid_sparse
                     program = _ensemble_program_sparse_grid(
-                        ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                        ncfg_K, b_pad, cfg.sampling, float(cfg.noise_var),
                         self.ctx, A.shape[0], A.shape[1],
                         gs.shape[0], gs.shape[1])
                     W, H, errs = program(A.data, perm, gs.lrows, gs.lcols,
-                                         key, done)
+                                         key, midx, W0, H0, kmask)
                 elif sparse_A and self._ell is not None:
                     E, rperm, cperm, rt_perm, ct_perm = self._ell
                     program = _ensemble_program_sparse_ell(
-                        ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                        ncfg_K, b_pad, cfg.sampling, float(cfg.noise_var),
                         A.shape[0], A.shape[1])
                     W, H, errs = program(A.data, E, rperm, cperm,
-                                         rt_perm, ct_perm, key, done)
+                                         rt_perm, ct_perm, key, midx,
+                                         W0, H0, kmask)
                 elif sparse_A:
                     program = _ensemble_program_sparse(
-                        ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
+                        ncfg_K, b_pad, cfg.sampling, float(cfg.noise_var),
                         A.shape[0], A.shape[1], self.ctx, p_e > 1)
-                    W, H, errs = program(A.data, A.indices, key, done)
+                    W, H, errs = program(A.data, A.indices, key, midx,
+                                         W0, H0, kmask)
                 elif self._polyk_K:
                     # batched k-sweep: per-k init draws (tiny trace) feed
                     # the ONE K-padded solver program shared by every k
@@ -970,15 +979,15 @@ class NMFk:
                         float(cfg.noise_var), self.ctx, p_e > 1,
                         use_pallas, err_chunk, cfg.seed_grid, use_fused)
                     W, H, errs = program(A, key, midx, W0, H0, kmask)
-                    if K > k:      # slice the padding back off
-                        W = W[:, :, :k]
-                        H = H[:, :k, :]
                 else:
                     program = _ensemble_program(
                         ncfg, b_pad, cfg.sampling, float(cfg.noise_var),
                         self.ctx, p_e > 1, use_pallas, err_chunk,
                         cfg.seed_grid, use_fused)
                     W, H, errs = program(A, key, done)
+            if (self._polyk_K or k) > k:
+                W = W[:, :, :k]    # slice the K padding back off
+                H = H[:, :k, :]
             # factors stay GLOBAL sharded arrays on every path: clustering
             # and regression consume them distributed (multi-host included
             # — VERDICT r4 item 2; the round-4 build took a full host copy

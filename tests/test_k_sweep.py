@@ -196,6 +196,45 @@ def test_merged_sweep_crash_resume(tmp_path, monkeypatch):
     assert nopt == 3
 
 
+def test_sparse_polyk_sweep_matches_per_k(tmp_path):
+    """Sparse sweeps share one K-padded program per format too: BCOO and
+    grid-ELL k-selection + stats match the per-k-program path."""
+    from jax.experimental import sparse as jsparse
+    rng = np.random.default_rng(7)
+    m, n, ktrue = 78, 60, 3
+    W = np.zeros((m, ktrue))
+    for i in range(ktrue):
+        c = (i + 0.5) * m / ktrue
+        W[:, i] = np.exp(-0.5 * ((np.arange(m) - c) / (0.06 * m)) ** 2)
+    Hm = rng.random((ktrue, n)) + 0.1
+    Ad = ((W @ Hm) * (rng.random((m, n)) < 0.5)).astype(np.float32)
+    Asp = jsparse.BCOO.fromdense(jnp.asarray(Ad))
+    from pydnmfk_tpu.parallel.mesh import grid_context
+
+    for sub, grid, fmt in (("bcoo", (1, 1), None),
+                           ("gell", (2, 1), "ell")):
+        ctx = grid_context(*grid)
+        mk = lambda name, batch: NMFkConfig(
+            nmf=NMFConfig(k=0, grid=grid, norm="fro", method="mu",
+                          itr=250, init="rand", seed=42,
+                          sparse_grid_format=fmt),
+            start_k=2, end_k=4, perturbations=4, noise_var=0.03,
+            sill_thr=0.6, results_path=str(tmp_path / name) + "/",
+            fname="sp", checkpoint=False, k_sweep_batch=batch)
+        poly = NMFk(mk(sub + "_p", True), ctx)
+        n_p = poly.fit(Asp)
+        perk = NMFk(mk(sub + "_q", False), ctx)
+        n_q = perk.fit(Asp)
+        assert n_p == n_q == ktrue, (sub, n_p, n_q)
+        for k in (2, 3, 4):
+            np.testing.assert_allclose(
+                poly.per_k_stats[k]["recon_err"],
+                perk.per_k_stats[k]["recon_err"], rtol=1e-4)
+            np.testing.assert_allclose(
+                poly.per_k_stats[k]["L_err"],
+                perk.per_k_stats[k]["L_err"], rtol=1e-3, atol=1e-5)
+
+
 def test_polyk_nnsvd_init(tmp_path):
     """nnsvd-init sweeps run the polyk path too (the wtsi golden
     configuration): per-k nnsvd init draws feed the shared solver."""
