@@ -283,24 +283,34 @@ def main():
             # wide one — per-member cost must drop well below the single
             # solve (the reference solves members serially) ----
             from pydnmfk_tpu.config import NMFConfig as _NC
-            from pydnmfk_tpu.models.nmfk import _ensemble_program_sparse_ell
+            from pydnmfk_tpu.models.nmfk import (
+                _ensemble_init_rand_program, _ensemble_program_sparse_ell)
+            from pydnmfk_tpu.parallel.mesh import grid_context as _gc
             b_ens = 8
             packed = ell_pack(Asp, return_perms=True)
             E2, rperm, cperm, rt_p, ct_p = packed
             ncfg = _NC(k=K, itr=ITERS, norm="fro", method="mu")
             prog = _ensemble_program_sparse_ell(
                 ncfg, b_ens, "uniform", 0.03, ms, ns)
+            init_p = _ensemble_init_rand_program(ncfg, K, ms, ns,
+                                                 _gc(), False)
             key_e = jax.random.key(0)
-            Wb, Hb, errs = prog(Asp.data, E2, rperm, cperm, rt_p, ct_p,
-                                key_e, 0)
+            kmask_e = jnp.ones((b_ens, K), bool)
+
+            def run_ens(off):
+                midx = jnp.arange(b_ens) + off
+                W0e, H0e = init_p(key_e, midx)
+                return prog(Asp.data, E2, rperm, cperm, rt_p, ct_p,
+                            key_e, midx, W0e, H0e, kmask_e)
+
+            Wb, Hb, errs = run_ens(0)
             float(jnp.sum(errs))
             t0 = time.perf_counter()
             reps = 3
             off = 0
             for _ in range(reps):
                 off += b_ens        # new member keys: no cached replay
-                Wb, Hb, errs = prog(Asp.data, E2, rperm, cperm, rt_p,
-                                    ct_p, key_e, off)
+                Wb, Hb, errs = run_ens(off)
             float(jnp.sum(errs)) ; float(jnp.sum(Wb))
             per_member = (time.perf_counter() - t0) / reps / b_ens
             rows.append({
