@@ -291,7 +291,7 @@ def main():
             E2, rperm, cperm, rt_p, ct_p = packed
             ncfg = _NC(k=K, itr=ITERS, norm="fro", method="mu")
             prog = _ensemble_program_sparse_ell(
-                ncfg, b_ens, "uniform", 0.03, ms, ns)
+                ncfg, "uniform", 0.03, ms, ns)
             init_p = _ensemble_init_rand_program(ncfg, K, ms, ns,
                                                  _gc(), False)
             key_e = jax.random.key(0)

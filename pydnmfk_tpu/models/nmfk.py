@@ -229,7 +229,7 @@ def _ensemble_program_polyk(ncfg: NMFConfig, sampling: str,
 
 
 @functools.lru_cache(maxsize=32)
-def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
+def _ensemble_program_sparse(ncfg: NMFConfig, sampling: str,
                              noise_var: float, m: int, n: int,
                              ctx: Optional[GridContext] = None,
                              shard_batch: bool = False):
@@ -277,7 +277,7 @@ def _ensemble_program_sparse(ncfg: NMFConfig, b_pad: int, sampling: str,
 
 
 @functools.lru_cache(maxsize=32)
-def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
+def _ensemble_program_sparse_ell(ncfg: NMFConfig,
                                  sampling: str, noise_var: float,
                                  m: int, n: int):
     """Per-batch ensemble program for ELL-format sparse A (the TPU
@@ -329,7 +329,7 @@ def _ensemble_program_sparse_ell(ncfg: NMFConfig, b_pad: int,
 
 
 @functools.lru_cache(maxsize=32)
-def _ensemble_program_sparse_grid_ell(ncfg: NMFConfig, b_pad: int,
+def _ensemble_program_sparse_grid_ell(ncfg: NMFConfig,
                                       sampling: str, noise_var: float,
                                       ctx: GridContext, m: int, n: int):
     """Per-batch ensemble program for GRID-sharded capped-ELL A
@@ -397,7 +397,7 @@ def _ensemble_program_sparse_grid_ell(ncfg: NMFConfig, b_pad: int,
 
 
 @functools.lru_cache(maxsize=32)
-def _ensemble_program_sparse_grid(ncfg: NMFConfig, b_pad: int,
+def _ensemble_program_sparse_grid(ncfg: NMFConfig,
                                   sampling: str, noise_var: float,
                                   ctx: GridContext, m: int, n: int,
                                   m_pad: int, n_pad: int):
@@ -773,8 +773,6 @@ class NMFk:
         start_k = self.checkpoint.resume_k(cfg.start_k, cfg.step_k)
         ks = list(range(start_k, cfg.end_k + 1, cfg.step_k))
         merge = (self._polyk_K is not None and len(ks) > 1
-                 and not self._sparse    # sparse sweeps: shared program,
-                                         # per-k batches (ROADMAP)
                  and (cfg.k_sweep_merge if cfg.k_sweep_merge is not None
                       else True))
         if merge:
@@ -937,7 +935,7 @@ class NMFk:
                 if sparse_A and self._grid_ell is not None:
                     E, rperm, cperm, rtperm, ctperm = self._grid_ell
                     program = _ensemble_program_sparse_grid_ell(
-                        ncfg_K, b_pad, cfg.sampling, float(cfg.noise_var),
+                        ncfg_K, cfg.sampling, float(cfg.noise_var),
                         self.ctx, A.shape[0], A.shape[1])
                     W, H, errs = program(A.data, E, rperm, cperm,
                                          rtperm, ctperm, key, midx,
@@ -945,7 +943,7 @@ class NMFk:
                 elif sparse_A and self._grid_sparse is not None:
                     gs, perm = self._grid_sparse
                     program = _ensemble_program_sparse_grid(
-                        ncfg_K, b_pad, cfg.sampling, float(cfg.noise_var),
+                        ncfg_K, cfg.sampling, float(cfg.noise_var),
                         self.ctx, A.shape[0], A.shape[1],
                         gs.shape[0], gs.shape[1])
                     W, H, errs = program(A.data, perm, gs.lrows, gs.lcols,
@@ -953,14 +951,14 @@ class NMFk:
                 elif sparse_A and self._ell is not None:
                     E, rperm, cperm, rt_perm, ct_perm = self._ell
                     program = _ensemble_program_sparse_ell(
-                        ncfg_K, b_pad, cfg.sampling, float(cfg.noise_var),
+                        ncfg_K, cfg.sampling, float(cfg.noise_var),
                         A.shape[0], A.shape[1])
                     W, H, errs = program(A.data, E, rperm, cperm,
                                          rt_perm, ct_perm, key, midx,
                                          W0, H0, kmask)
                 elif sparse_A:
                     program = _ensemble_program_sparse(
-                        ncfg_K, b_pad, cfg.sampling, float(cfg.noise_var),
+                        ncfg_K, cfg.sampling, float(cfg.noise_var),
                         A.shape[0], A.shape[1], self.ctx, p_e > 1)
                     W, H, errs = program(A.data, A.indices, key, midx,
                                          W0, H0, kmask)
@@ -1030,11 +1028,59 @@ class NMFk:
         n_pert = cfg.perturbations
         p_e = self.ctx.p_e
         key = jax.random.key(cfg.nmf.seed)
-        ncfg0, use_pallas, use_fused, err_chunk = self._dense_gating(
-            A, cfg.nmf.replace(k=K), K)
+        sparse_A = linalg.is_sparse(A)
+        if sparse_A:
+            ncfg0 = cfg.nmf.replace(k=K)
+            use_pallas = use_fused = False
+            err_chunk = 0
+        else:
+            ncfg0, use_pallas, use_fused, err_chunk = self._dense_gating(
+                A, cfg.nmf.replace(k=K), K)
         batch = self._ensemble_batch_size(A, K, ncfg0,
                                           max_members=n_pert * len(ks))
         self.last_batch_size = batch
+
+        # one program-call closure per execution format; the sparse
+        # formats' fixed operands (block indices, slot->nnz perms) are
+        # bound here once
+        ncfg_K = ncfg0.replace(k=K)
+        if not sparse_A:
+            run_batch = lambda midx, W0, H0, kmask: _ensemble_program_polyk(
+                ncfg_K, cfg.sampling, float(cfg.noise_var), self.ctx,
+                p_e > 1, use_pallas, err_chunk, cfg.seed_grid, use_fused
+            )(A, key, midx, W0, H0, kmask)
+        elif self._grid_ell is not None:
+            E, rperm, cperm, rtperm, ctperm = self._grid_ell
+            run_batch = (lambda midx, W0, H0, kmask:
+                         _ensemble_program_sparse_grid_ell(
+                             ncfg_K, cfg.sampling, float(cfg.noise_var),
+                             self.ctx, A.shape[0], A.shape[1])(
+                             A.data, E, rperm, cperm, rtperm, ctperm,
+                             key, midx, W0, H0, kmask))
+        elif self._grid_sparse is not None:
+            gs, perm = self._grid_sparse
+            run_batch = (lambda midx, W0, H0, kmask:
+                         _ensemble_program_sparse_grid(
+                             ncfg_K, cfg.sampling, float(cfg.noise_var),
+                             self.ctx, A.shape[0], A.shape[1],
+                             gs.shape[0], gs.shape[1])(
+                             A.data, perm, gs.lrows, gs.lcols, key, midx,
+                             W0, H0, kmask))
+        elif self._ell is not None:
+            E, rperm, cperm, rt_perm, ct_perm = self._ell
+            run_batch = (lambda midx, W0, H0, kmask:
+                         _ensemble_program_sparse_ell(
+                             ncfg_K, cfg.sampling, float(cfg.noise_var),
+                             A.shape[0], A.shape[1])(
+                             A.data, E, rperm, cperm, rt_perm, ct_perm,
+                             key, midx, W0, H0, kmask))
+        else:
+            run_batch = (lambda midx, W0, H0, kmask:
+                         _ensemble_program_sparse(
+                             ncfg_K, cfg.sampling, float(cfg.noise_var),
+                             A.shape[0], A.shape[1], self.ctx, p_e > 1)(
+                             A.data, A.indices, key, midx, W0, H0,
+                             kmask))
 
         st = (self.checkpoint.state or self.checkpoint.load()
               ) if cfg.checkpoint else None
@@ -1085,10 +1131,6 @@ class NMFk:
             (lambda: jax.default_matmul_precision(ncfg0.matmul_precision))
             if ncfg0.matmul_precision else contextlib.nullcontext)
         for sb in batches:
-            program = _ensemble_program_polyk(      # lru-cached builder
-                ncfg0.replace(k=K), cfg.sampling, float(cfg.noise_var),
-                self.ctx, p_e > 1, use_pallas, err_chunk, cfg.seed_grid,
-                use_fused)
             b = sum(ln for _, _, ln in sb)
             b_pad = -(-b // p_e) * p_e
             midx = np.concatenate(
@@ -1107,11 +1149,17 @@ class NMFk:
             with timing.timed("ensemble_solve"), prec_ctx():
                 W0s, H0s = [], []
                 for k, off, ln in sb:
-                    ip = _ensemble_init_program(
-                        state[k]["ncfg"], K, cfg.sampling,
-                        float(cfg.noise_var), self.ctx, p_e > 1,
-                        cfg.seed_grid)
-                    w0, h0 = ip(A, key, jnp.arange(off, off + ln))
+                    if sparse_A:
+                        ip = _ensemble_init_rand_program(
+                            state[k]["ncfg"], K, A.shape[0], A.shape[1],
+                            self.ctx, p_e > 1)
+                        w0, h0 = ip(key, jnp.arange(off, off + ln))
+                    else:
+                        ip = _ensemble_init_program(
+                            state[k]["ncfg"], K, cfg.sampling,
+                            float(cfg.noise_var), self.ctx, p_e > 1,
+                            cfg.seed_grid)
+                        w0, h0 = ip(A, key, jnp.arange(off, off + ln))
                     W0s.append(w0)
                     H0s.append(h0)
                 if b_pad > b:
@@ -1119,8 +1167,7 @@ class NMFk:
                         W0s[-1][-1:], (b_pad - b,) + W0s[-1].shape[1:]))
                     H0s.append(jnp.broadcast_to(
                         H0s[-1][-1:], (b_pad - b,) + H0s[-1].shape[1:]))
-                W, H, errs = program(A, key, midx, cat(W0s), cat(H0s),
-                                     kmask)
+                W, H, errs = run_batch(midx, cat(W0s), cat(H0s), kmask)
             pos = 0
             for k, off, ln in sb:
                 s = state[k]
