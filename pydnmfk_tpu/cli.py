@@ -100,6 +100,12 @@ def build_parser():
                    help="sparse execution format on a multi-device grid: "
                         "auto (default: per-block ELL on TPU when "
                         "packable), ell, or triplet")
+    p.add_argument("--k_sweep_batch", type=str2bool, default=None,
+                   help="batched k-sweep: one compiled solver program for "
+                        "every k (default on; false = per-k programs)")
+    p.add_argument("--k_sweep_merge", type=str2bool, default=None,
+                   help="pack members of several ks into each ensemble "
+                        "dispatch (default on with the batched sweep)")
     return p
 
 
@@ -130,7 +136,9 @@ def main(argv=None):
         matmul_precision=args.matmul_precision,
         bcd_obj=args.bcd_obj,
         sparse_grid_format=(None if args.sparse_grid_format in
-                            (None, "auto") else args.sparse_grid_format))
+                            (None, "auto") else args.sparse_grid_format),
+        k_sweep_batch=args.k_sweep_batch,
+        k_sweep_merge=args.k_sweep_merge)
     results = runner.run(
         grid=[args.p_r, args.p_c], fpath=args.fpath, ftype=args.ftype,
         fname=args.fname, results_path=args.results_path,

@@ -27,7 +27,8 @@ class Runner:
                  seed=100, tol=0.0, solve_checkpoint_every=0,
                  ensemble_batch=0, matmul_precision=None,
                  save_factors=False, bcd_obj=None,
-                 sparse_grid_format=None):
+                 sparse_grid_format=None, k_sweep_batch=None,
+                 k_sweep_merge=None):
         if process not in ("pyDNMF", "pyDNMFk"):
             raise ValueError("process should be either pyDNMFk or pyDNMF")
         self.init = init
@@ -55,6 +56,8 @@ class Runner:
         self.save_factors = save_factors
         self.bcd_obj = bcd_obj
         self.sparse_grid_format = sparse_grid_format
+        self.k_sweep_batch = k_sweep_batch
+        self.k_sweep_merge = k_sweep_merge
         timing.enable(timing_stats)
         from .config import enable_compilation_cache
         enable_compilation_cache()
@@ -93,6 +96,8 @@ class Runner:
                 sill_thr=self.sill_thr, checkpoint=self.checkpoint,
                 results_path=results_path, fname=fname,
                 ensemble_batch=self.ensemble_batch,
+                k_sweep_batch=self.k_sweep_batch,
+                k_sweep_merge=self.k_sweep_merge,
                 seed_grid=(tuple(self.seed_grid)
                            if self.seed_grid else None))
             results["nopt"] = NMFk(cfg, ctx).fit(A, orig_shape=orig_shape)
